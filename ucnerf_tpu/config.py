@@ -1,0 +1,178 @@
+"""Configuration for ucnerf_tpu.
+
+Mirrors the reference's configargparse surface (reference ``opt.py:3-113``) as a
+frozen dataclass so the whole config is hashable and can be closed over by
+``jax.jit``.  Derived fields that the reference injects post-parse
+(``feat_dim`` at ``train.py:31``) are computed properties here.
+
+Deliberate fixes vs the reference (documented, not replicated):
+- ``dataset_name='finetune'`` actually resolves to a registered dataset
+  (reference declares the choice at ``opt.py:33`` but never registers it in
+  ``data/__init__.py:4-6`` -> KeyError).
+- ``use_viewdirs`` is a real bool (reference parses it as a truthy string,
+  ``opt.py:86``).
+
+Static ray-budget fields replace the reference's dynamic ray mix
+(``utils/utils.py:450-480``): patches + uniform + a fixed sparse-depth budget
+with a validity mask, so every shape under jit is static.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    # experiment / IO
+    expname: str = "scared"
+    basedir: str = "./logs/"
+    datadir: str = "../../Datasets/"
+    log: bool = False
+    seed: int = 123456
+
+    # data  (reference opt.py:16-22, data/scared.py:164-167)
+    dataset_name: str = "scared"      # scared | hamlyn | finetune | synthetic
+    imgScale_train: float = 0.25
+    imgScale_test: float = 0.25
+    img_downscale: float = 1.0
+    pad: int = 0
+    view_num: int = 5                 # V: 1 target + (V-1) source views
+
+    # ray budget (reference opt.py:20-24, 80; utils/utils.py:434,450-480)
+    batch_size: int = 2000            # N_rays: patch + uniform rays per step
+    patch_size: int = 6
+    patch_num: int = 50
+    n_depth_rays: int = 1024          # static budget for sparse-COLMAP-depth rays
+                                      # (reference caps rays_depth at 1024,
+                                      # data/scared.py:503)
+    N_samples: int = 90               # depth samples/ray; 3 cascade stages x 30
+
+    # MLP (reference opt.py:40-51, 88-93)
+    netdepth: int = 6
+    netwidth: int = 128
+    multires: int = 10
+    multires_views: int = 4
+    skips: Tuple[int, ...] = (4,)
+    net_type: str = "v0"
+
+    # MVS cascade (reference network/mvs_models.py:649-650)
+    ndepths: Tuple[int, ...] = (48, 32, 8)
+    depth_intervals_ratio: Tuple[int, ...] = (4, 2, 1)
+
+    # training (reference opt.py:52-68, train.py:85-92)
+    lrate: float = 6e-4
+    num_epochs: int = 100
+    lr_scheduler: str = "cosine"      # cosine | steplr | poly
+    decay_step: Tuple[int, ...] = (8000, 18000, 25000)
+    decay_gamma: float = 0.5
+    warmup_epochs: int = 0
+    chunk: int = 8192                 # eval render rays per tile (static)
+    finetune: Optional[str] = None    # scene name -> freeze MVS net
+                                      # (reference network/models.py:249-250)
+    ckpt: Optional[str] = None
+    eval: bool = False
+
+    # rendering (reference opt.py:80-95)
+    perturb: float = 1.0
+    use_viewdirs: bool = True
+    raw_noise_std: float = 0.0
+    white_bkgd: bool = False
+
+    # loss weights (reference train.py:185-188)
+    w_nerf_depth: float = 0.05
+    w_mvs: float = 0.05
+    w_smooth: float = 0.05
+    w_scaleinv: float = 0.008
+    w_img: float = 5.0
+
+    # parallelism (no reference equivalent; reference is single-GPU,
+    # train.py:433)
+    mesh_shape: Tuple[int, ...] = (1,)
+    mesh_axes: Tuple[str, ...] = ("data",)
+
+    # precision
+    mvs_dtype: str = "float32"        # compute dtype for the MVS cascade
+
+    # ------------------------------------------------------------------ derived
+    @property
+    def feat_dim(self) -> int:
+        """Point-feature channel count (reference train.py:31):
+        24 cost-volume ch + (V-1)*(4 color+mask + 8 img-feat) + 1 confidence."""
+        return 24 + (self.view_num - 1) * (4 + 8) + 1
+
+    @property
+    def n_patch_rays(self) -> int:
+        return self.patch_num * self.patch_size * self.patch_size
+
+    @property
+    def n_uniform_rays(self) -> int:
+        return self.batch_size - self.n_patch_rays
+
+    @property
+    def n_train_rays(self) -> int:
+        """Total rays per train step: batch_size + sparse-depth budget."""
+        return self.batch_size + self.n_depth_rays
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------- presets
+# Mirror the reference's shell scripts (scripts/train_scared.sh,
+# scripts/train_hamlyn.sh, scripts/eval.sh).
+PRESETS = {
+    "train_scared": dict(dataset_name="scared", view_num=7, lrate=2e-4,
+                         num_epochs=30, patch_size=6, patch_num=50),
+    "train_hamlyn": dict(dataset_name="hamlyn", view_num=7, lrate=2e-4,
+                         num_epochs=30, patch_size=4, patch_num=50),
+    "eval_scared": dict(dataset_name="scared", view_num=7, eval=True),
+    "eval_hamlyn": dict(dataset_name="hamlyn", view_num=7, eval=True),
+}
+
+
+def _add_args(parser: argparse.ArgumentParser) -> None:
+    # default=SUPPRESS so only flags the user actually typed land in the
+    # namespace — an explicit flag equal to the dataclass default must still
+    # override a preset.
+    for f in dataclasses.fields(Config):
+        name = "--" + f.name
+        default = f.default
+        if f.type == "bool" or isinstance(default, bool):
+            parser.add_argument(name, action="store_true",
+                                default=argparse.SUPPRESS)
+        elif isinstance(default, tuple):
+            parser.add_argument(name, nargs="+",
+                                type=type(default[0]) if default else int,
+                                default=argparse.SUPPRESS)
+        elif default is None:
+            parser.add_argument(name, type=str, default=argparse.SUPPRESS)
+        else:
+            parser.add_argument(name, type=type(default),
+                                default=argparse.SUPPRESS)
+
+
+def parse_config(argv=None) -> Config:
+    """CLI → Config.  Supports ``--preset`` and ``--config <json>`` overrides."""
+    parser = argparse.ArgumentParser("ucnerf_tpu")
+    parser.add_argument("--preset", type=str, default=None,
+                        choices=sorted(PRESETS.keys()))
+    parser.add_argument("--config", type=str, default=None,
+                        help="JSON file with config overrides")
+    _add_args(parser)
+    ns = parser.parse_args(argv)
+
+    overrides = {}
+    if ns.config:
+        with open(ns.config) as fh:
+            overrides.update(json.load(fh))
+    if ns.preset:
+        overrides.update(PRESETS[ns.preset])
+
+    cli = {k: (tuple(v) if isinstance(v, list) else v)
+           for k, v in vars(ns).items() if k not in ("preset", "config")}
+    overrides.update(cli)  # explicit CLI wins over preset/json
+    return Config(**overrides)

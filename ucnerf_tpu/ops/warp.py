@@ -1,0 +1,72 @@
+"""Plane-sweep homography warp (the MVS cost-volume hot path).
+
+Behavioral spec from reference ``homo_warp`` (``utils/utils.py:1105-1172``):
+for every target pixel (x, y) and depth hypothesis d,
+
+    [u, v, w]^T = R @ [x, y, 1]^T + T / d          (R|T = src_proj @ ref_proj_inv)
+    src_px      = (u/w, v/w)
+
+then NEAREST sampling with border padding at align_corners=True normalization
+(``utils/utils.py:1155-1167``), and an in-bounds mask that is *strict*
+``(-1, 1)`` in normalized coordinates (reference ``mvs_models.py:616-617``).
+
+TPU-first design: instead of materializing a normalized grid and calling a
+grid-sampler, we compute integer gather indices directly and do one flat
+``take`` per source view — a single XLA gather, no [-1,1] round trip.  The
+nearest-rounding and mask match the reference bit-for-bit (round half to even
+on the normalized coordinate).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def homo_warp(src_feat, proj_mat, depth_values, pad: int = 0):
+    """Warp one source feature map into the target frustum's plane sweep.
+
+    Args:
+      src_feat: [H, W, C] source features (channel-last).
+      proj_mat: [3, 4] = (src K@w2c) @ inv(ref K@w2c), rows [R | T].
+      depth_values: [D, H_pad, W_pad] per-pixel depth hypotheses in the
+        target frame (already padded if pad > 0).
+      pad: target-frustum padding in pixels (reference ``utils/utils.py:1117``).
+
+    Returns:
+      warped: [D, H_pad, W_pad, C]
+      in_mask: [D, H_pad, W_pad] float, 1 where the source projection is
+        strictly inside the image.
+    """
+    H, W = src_feat.shape[:2]
+    D, H_pad, W_pad = depth_values.shape
+
+    R = proj_mat[:, :3]
+    T = proj_mat[:, 3]
+
+    # target pixel grid, shifted by -pad (reference utils/utils.py:1128-1134)
+    ys = jnp.arange(H_pad, dtype=src_feat.dtype) - pad
+    xs = jnp.arange(W_pad, dtype=src_feat.dtype) - pad
+    # R @ [x, y, 1]: broadcast without building an explicit [3, H*W] matmul
+    base = (R[:, 0][:, None, None] * xs[None, None, :]
+            + R[:, 1][:, None, None] * ys[None, :, None]
+            + R[:, 2][:, None, None])                        # [3, H_pad, W_pad]
+
+    src = base[:, None] + T[:, None, None, None] / depth_values[None]
+    # [3, D, H_pad, W_pad]
+    u = src[0] / src[2]
+    v = src[1] / src[2]
+
+    # normalized coords (align_corners=True convention, utils/utils.py:1155-1156)
+    gx = u / ((W - 1) / 2.0) - 1.0
+    gy = v / ((H - 1) / 2.0) - 1.0
+
+    in_mask = ((gx > -1.0) & (gx < 1.0) & (gy > -1.0) & (gy < 1.0))
+
+    # nearest + border: unnormalize back (align_corners=True), round-half-even
+    ix = jnp.clip(jnp.round((gx + 1.0) * 0.5 * (W - 1)), 0, W - 1)
+    iy = jnp.clip(jnp.round((gy + 1.0) * 0.5 * (H - 1)), 0, H - 1)
+    idx = (iy.astype(jnp.int32) * W + ix.astype(jnp.int32))  # [D, H_pad, W_pad]
+
+    flat = src_feat.reshape(H * W, -1)
+    warped = jnp.take(flat, idx, axis=0)                     # [D,H_pad,W_pad,C]
+    return warped, in_mask.astype(src_feat.dtype)
