@@ -6,12 +6,19 @@ logic tests run on CPU via xla_force_host_platform_device_count).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell exports axon (TPU)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# The axon TPU plugin's sitecustomize.py sets jax_platforms="axon,cpu" via
+# jax.config at interpreter start, which overrides the env var — force it
+# back before any backend initializes.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

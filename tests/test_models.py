@@ -1,0 +1,141 @@
+"""Model shape/semantics tests + torch parity for the tricky layers."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from ucnerf_tpu.config import Config
+from ucnerf_tpu.models.layers import ConvTransposeBNReLU, BatchStatNorm
+from ucnerf_tpu.models.mvs import CascadeMVSNet, _sliding_prob_mass4
+from ucnerf_tpu.models.nerf import UCNeRFMLP
+from ucnerf_tpu.models.factory import create_models, init_params
+
+
+def test_conv_transpose_matches_torch(rng):
+    """Our lhs-dilated conv == torch ConvTranspose3d(k3,s2,p1,op1)."""
+    cin, cout, d, h, w = 3, 5, 4, 6, 5
+    x = rng.standard_normal((d, h, w, cin)).astype(np.float32)
+    m = ConvTransposeBNReLU(cout, use_bn=False, use_relu=False)
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    y = np.asarray(m.apply(params, jnp.asarray(x)))
+
+    # port our kernel (*k, Cout, Cin) into torch layout (Cin, Cout, *k)
+    kern = np.asarray(params["params"]["kernel"])
+    tw = torch.from_numpy(np.transpose(kern, (4, 3, 0, 1, 2)))
+    tx = torch.from_numpy(x).permute(3, 0, 1, 2)[None]
+    ref = F.conv_transpose3d(tx, tw, stride=2, padding=1, output_padding=1)
+    ref = ref[0].permute(1, 2, 3, 0).numpy()
+    assert y.shape == ref.shape == (2 * d, 2 * h, 2 * w, cout)
+    np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_batch_stat_norm_matches_torch_train_bn(rng):
+    x = rng.standard_normal((7, 9, 4)).astype(np.float32)
+    m = BatchStatNorm()
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    y = np.asarray(m.apply(params, jnp.asarray(x)))
+    bn = torch.nn.BatchNorm2d(4)
+    bn.train()
+    ref = bn(torch.from_numpy(x).permute(2, 0, 1)[None, :, :, :]
+             .permute(0, 1, 2, 3))
+    # torch BN normalizes over (N,H,W) per channel; emulate with [1,C,H,W]
+    ref = bn(torch.from_numpy(x).permute(2, 0, 1)[None])
+    ref = ref[0].permute(1, 2, 0).detach().numpy()
+    np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_sliding_prob_mass4_matches_torch(rng):
+    D, H, W = 9, 4, 5
+    p = rng.uniform(size=(D, H, W)).astype(np.float32)
+    ours = np.asarray(_sliding_prob_mass4(jnp.asarray(p)))
+    tp = torch.from_numpy(p)[None, None]
+    ref = 4 * F.avg_pool3d(F.pad(tp, (0, 0, 0, 0, 1, 2)), (4, 1, 1),
+                           stride=1, padding=0)
+    np.testing.assert_allclose(ours, ref[0, 0].numpy(), rtol=1e-5, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return Config(view_num=4, N_samples=9, batch_size=100, patch_size=2,
+                  patch_num=4, n_depth_rays=16)
+
+
+def test_cascade_mvs_shapes(tiny_cfg):
+    cfg = tiny_cfg
+    H, W = 32, 64  # must be divisible by 32 (reference data/scared.py:172)
+    key = jax.random.PRNGKey(0)
+    _, mvs = create_models(cfg)
+    v1 = cfg.view_num - 1
+    imgs = jax.random.normal(key, (v1, H, W, 3))
+    # per-view per-stage affine mats: K_s @ w2c with w2c = identity-ish
+    K = np.array([[30.0, 0, W / 2], [0, 30.0, H / 2], [0, 0, 1]], np.float32)
+    affs = []
+    for v in range(cfg.view_num):
+        per_stage = []
+        for s in range(3):
+            m = np.eye(4, dtype=np.float32)
+            Ks = K.copy()
+            Ks[:2] /= 2 ** (2 - s)
+            m[:3, :3] = Ks
+            m[0, 3] = 0.1 * v
+            per_stage.append(m)
+        affs.append(per_stage)
+    affine = jnp.asarray(np.stack(affs))
+    affine_inv = jnp.asarray(np.linalg.inv(np.stack(affs)))
+
+    params = mvs.init(key, imgs, affine, affine_inv, 0.5, 2.0)
+    out = mvs.apply(params, imgs, affine, affine_inv, 0.5, 2.0)
+
+    assert out["stage1"]["depth"].shape == (H // 4, W // 4)
+    assert out["stage2"]["depth"].shape == (H // 2, W // 2)
+    assert out["stage3"]["depth"].shape == (H, W)
+    assert out["stage3"]["photometric_confidence"].shape == (H, W)
+    assert out["stage1"]["volume_feature"].shape == (48, H // 4, W // 4, 8)
+    assert out["stage3"]["depth_values"].shape == (8, H, W)
+    assert out["img_feats"].shape == (v1, H, W, 8)
+    conf = np.asarray(out["stage3"]["photometric_confidence"])
+    assert conf.min() >= 0.0 and conf.max() <= 1.0
+    d = np.asarray(out["stage3"]["depth"])
+    assert d.min() >= 0.5 - 1e-5 and d.max() <= 2.0 + 1e-5
+    prob = np.asarray(out["stage2"]["prob_volume"])
+    np.testing.assert_allclose(prob.sum(0), 1.0, rtol=1e-4)
+
+
+def test_nerf_mlp_shapes_and_blend(tiny_cfg):
+    cfg = tiny_cfg
+    nerf, _ = create_models(cfg)
+    key = jax.random.PRNGKey(1)
+    N, S = 11, cfg.N_samples
+    pts = jax.random.normal(key, (N, S, 3))
+    dirs = jax.random.normal(key, (N, 3))
+    feats = jax.random.normal(key, (N, S, cfg.feat_dim))
+    params = nerf.init(key, pts, dirs, feats)
+    out = nerf.apply(params, pts, dirs, feats)
+    assert out.shape == (N, S, 4)
+    rgb = np.asarray(out[..., :3])
+    alpha = np.asarray(out[..., 3])
+    assert (rgb >= 0).all() and (rgb <= 1).all()   # sigmoid head
+    assert (alpha >= 0).all()                      # relu head
+
+    # full-confidence input (u=0) must make rgb depend only on the base head:
+    # perturbing img_feats (adaptive path input) must not change rgb.
+    feats_c1 = feats.at[..., -1].set(1.0)
+    v1 = cfg.view_num - 1
+    sl = slice(24 + 4 * v1, 24 + 12 * v1)
+    feats_c1b = feats_c1.at[..., sl].add(3.0)
+    o1 = nerf.apply(params, pts, dirs, feats_c1)
+    o2 = nerf.apply(params, pts, dirs, feats_c1b)
+    np.testing.assert_allclose(np.asarray(o1[..., :3]),
+                               np.asarray(o2[..., :3]), atol=1e-6)
+
+
+def test_init_params_tree(tiny_cfg):
+    params = init_params(tiny_cfg, jax.random.PRNGKey(0), (32, 64))
+    assert "nerf" in params and "mvs" in params
+    n = sum(x.size for x in jax.tree.leaves(params["nerf"]))
+    m = sum(x.size for x in jax.tree.leaves(params["mvs"]))
+    assert n > 10_000 and m > 100_000

@@ -1,0 +1,177 @@
+"""Building-block layers with torch-compatible semantics.
+
+The reference's conv blocks (``network/mvs_models.py:21-196``) are
+Conv{2,3}d / ConvTranspose{2,3}d + BatchNorm + ReLU.  Two torch details we
+reproduce exactly:
+
+1. **Explicit symmetric padding.** torch pads (p, p) per spatial dim; XLA
+   'SAME' pads asymmetrically for stride 2, which shifts the output grid.
+   All convs here use explicit torch-style padding tuples.
+2. **Batch-statistics BatchNorm.** The reference always runs its nets in
+   train mode — even during validation it calls ``Consist_Learner.train()``
+   (reference ``train.py:226``) — so BatchNorm always normalizes with the
+   current batch statistics (biased variance, eps=1e-5).  We therefore
+   implement BN as a pure batch-stat normalizer with learnable scale/shift;
+   running averages are tracked nowhere because the reference never consumes
+   them.
+
+Layout: channel-last (NHWC / NDHWC), the TPU-native choice.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+def torch_kaiming_uniform_conv(key, shape, dtype=jnp.float32):
+    """torch default conv init: kaiming_uniform(a=sqrt(5)) on the weight.
+
+    shape = (*kernel_spatial, Cin, Cout); fan_in = Cin * prod(kernel_spatial).
+    """
+    fan_in = shape[-2]
+    for s in shape[:-2]:
+        fan_in *= s
+    bound = 1.0 / jnp.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+class BatchStatNorm(nn.Module):
+    """BatchNorm that always uses current-batch statistics (see module doc)."""
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        axes = tuple(range(x.ndim - 1))
+        mean = jnp.mean(x, axis=axes, keepdims=True)
+        var = jnp.var(x, axis=axes, keepdims=True)  # biased, like torch train
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        return y * scale + bias
+
+
+class ConvBNReLU(nn.Module):
+    """Conv + optional BN + optional ReLU (reference ``Conv2d``/``Conv3d``,
+    ``mvs_models.py:21-56,110-146``).  Spatial rank inferred from input."""
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    padding: int = 1
+    use_bn: bool = True
+    use_relu: bool = True
+    use_bias: bool = None  # default: bias iff no bn (torch `bias=(not bn)`)
+
+    @nn.compact
+    def __call__(self, x):
+        ndim = x.ndim - 1  # spatial rank (no batch dim; channel-last)
+        k = (self.kernel,) * ndim
+        pad = [(self.padding, self.padding)] * ndim
+        bias = (not self.use_bn) if self.use_bias is None else self.use_bias
+        y = nn.Conv(self.features, k, strides=(self.stride,) * ndim,
+                    padding=pad, use_bias=bias,
+                    kernel_init=torch_kaiming_uniform_conv)(x[None])[0]
+        if self.use_bn:
+            y = BatchStatNorm()(y)
+        if self.use_relu:
+            y = jax.nn.relu(y)
+        return y
+
+
+class ConvTransposeBNReLU(nn.Module):
+    """torch-exact ConvTranspose + BN + ReLU (reference ``Deconv2d``/
+    ``Deconv3d``, ``mvs_models.py:64-102,154-195``).
+
+    Implemented as ``lax.conv_general_dilated`` with lhs_dilation=stride and
+    padding (k-1-p, k-1-p+output_padding), which is the standard equivalence
+    to torch's ConvTranspose (weight layout (*k, Cout, Cin), spatially
+    flipped at call time).
+    """
+    features: int
+    kernel: int = 3
+    stride: int = 2
+    padding: int = 1
+    output_padding: int = 1
+    use_bn: bool = True
+    use_relu: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        ndim = x.ndim - 1
+        cin = x.shape[-1]
+        k = self.kernel
+        # fan_in for torch ConvTranspose default init = Cout * prod(k)
+        # (torch stores weight (Cin, Cout, *k) and uses weight.size(1..) );
+        # but pretrained weights dominate — keep conv-style init.
+        w = self.param("kernel", torch_kaiming_uniform_conv,
+                       ((k,) * ndim) + (self.features, cin))
+        w_flip = w
+        for ax in range(ndim):
+            w_flip = jnp.flip(w_flip, axis=ax)
+        # (*k, Cout, Cin) -> (*k, Cin, Cout) for 'IO' kernel spec
+        w_flip = jnp.swapaxes(w_flip, -1, -2)
+        pad_lo = k - 1 - self.padding
+        pad_hi = k - 1 - self.padding + self.output_padding
+        dn_spatial = "DHW"[-ndim:] if ndim <= 3 else None
+        dn = ("N" + dn_spatial + "C", dn_spatial + "IO", "N" + dn_spatial + "C")
+        y = jax.lax.conv_general_dilated(
+            x[None], w_flip, window_strides=(1,) * ndim,
+            padding=[(pad_lo, pad_hi)] * ndim,
+            lhs_dilation=(self.stride,) * ndim,
+            dimension_numbers=dn)[0]
+        if self.use_bn:
+            y = BatchStatNorm()(y)
+        else:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b
+        if self.use_relu:
+            y = jax.nn.relu(y)
+        return y
+
+
+def torch_linear_default_init(key, shape, dtype=jnp.float32):
+    """torch nn.Linear default: U(±1/sqrt(fan_in)).  shape = (in, out)."""
+    bound = 1.0 / jnp.sqrt(shape[0])
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_linear_default_bias_init(fan_in: int):
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / jnp.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+def kaiming_normal_init(key, shape, dtype=jnp.float32):
+    """torch ``kaiming_normal_`` (fan_in, relu gain) on (in, out) kernels —
+    reference ``weights_init`` (``network/models.py:13-17``)."""
+    std = jnp.sqrt(2.0 / shape[0])
+    return std * jax.random.normal(key, shape, dtype)
+
+
+class TorchDense(nn.Module):
+    """nn.Dense with torch Linear init conventions.
+
+    kaiming=True  -> kaiming_normal weights, zero bias (reference
+                     ``weights_init``, applied to most UC-NeRF layers).
+    kaiming=False -> torch default U(±1/sqrt(fan_in)) for both (the layers
+                     the reference forgot to apply ``weights_init`` to:
+                     ``pts_bias_confidence``, ``alpha_linear_1``).
+    """
+    features: int
+    kaiming: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        if self.kaiming:
+            kinit = kaiming_normal_init
+            binit = nn.initializers.zeros
+        else:
+            kinit = torch_linear_default_init
+            binit = torch_linear_default_bias_init(fan_in)
+        return nn.Dense(self.features, kernel_init=kinit, bias_init=binit)(x)

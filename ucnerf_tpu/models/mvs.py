@@ -1,0 +1,239 @@
+"""CascadeMVSNet — the "Consistency Learner" — in Flax, channel-last.
+
+Behavioral port of reference ``network/mvs_models.py:309-762``:
+- ``FeatureNet`` (fpn): 3-scale FPN, base_channels=8, per-stage output
+  channels [32, 16, 8] (reference :309-410).  Applied per view with shared
+  weights via ``nn.vmap`` — this also reproduces the reference's per-view
+  BatchNorm statistics (it calls ``self.feature(img)`` one view at a time,
+  :701-704).
+- ``CostRegNet``: 3D U-Net, stride-2 down x3, deconv up x3 with skip adds,
+  returns (cost_feature, prob_logits) (reference :412-443).
+- ``DepthNet``: plane-sweep homography warp of source-view features into the
+  target frustum over D depth hypotheses, masked variance cost volume with
+  the reference's (n_valid + 1) count (:608-625), 3D regularization ->
+  softmax prob volume -> expectation depth (:632-633), photometric
+  confidence = 4-bin sliding prob mass at the winner index (:635-642).
+- cascade depth-range propagation with detached previous depth,
+  bilinear-upsample to full res, clamped linspace re-centering, trilinear
+  resize to stage res (:715-746, ``get_depth_range_samples`` :554-573).
+
+Deliberately dropped dead compute (documented): the reference also
+homography-warps the source *images* into ``img_feat_no_ref``
+(:600,614,618) but never uses the result — we skip those V warps.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ucnerf_tpu.models.layers import ConvBNReLU, ConvTransposeBNReLU
+from ucnerf_tpu.models.layers import torch_kaiming_uniform_conv
+from ucnerf_tpu.ops.interpolate import (resize_bilinear, resize_trilinear,
+                                        upsample2x_nearest)
+from ucnerf_tpu.ops.warp import homo_warp
+
+
+class FeatureNet(nn.Module):
+    """FPN feature extractor for one view [H, W, 3] -> 3 stage maps."""
+    base_channels: int = 8
+
+    @nn.compact
+    def __call__(self, x):
+        bc = self.base_channels
+        conv0 = ConvBNReLU(bc, 3, 1, 1)(x)
+        conv0 = ConvBNReLU(bc, 3, 1, 1)(conv0)
+        conv1 = ConvBNReLU(bc * 2, 5, 2, 2)(conv0)
+        conv1 = ConvBNReLU(bc * 2, 3, 1, 1)(conv1)
+        conv1 = ConvBNReLU(bc * 2, 3, 1, 1)(conv1)
+        conv2 = ConvBNReLU(bc * 4, 5, 2, 2)(conv1)
+        conv2 = ConvBNReLU(bc * 4, 3, 1, 1)(conv2)
+        conv2 = ConvBNReLU(bc * 4, 3, 1, 1)(conv2)
+
+        intra = conv2
+        out1 = nn.Conv(bc * 4, (1, 1), use_bias=False,
+                       kernel_init=torch_kaiming_uniform_conv)(intra)
+        # FPN top-down (reference mvs_models.py:395-403)
+        inner1 = nn.Conv(bc * 4, (1, 1), use_bias=True,
+                         kernel_init=torch_kaiming_uniform_conv)(conv1)
+        intra = upsample2x_nearest(intra) + inner1
+        out2 = nn.Conv(bc * 2, (3, 3), padding=[(1, 1), (1, 1)],
+                       use_bias=False,
+                       kernel_init=torch_kaiming_uniform_conv)(intra)
+        inner2 = nn.Conv(bc * 4, (1, 1), use_bias=True,
+                         kernel_init=torch_kaiming_uniform_conv)(conv0)
+        intra = upsample2x_nearest(intra) + inner2
+        out3 = nn.Conv(bc, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+                       kernel_init=torch_kaiming_uniform_conv)(intra)
+        return {"stage1": out1, "stage2": out2, "stage3": out3}
+
+
+class CostRegNet(nn.Module):
+    """3D U-Net cost regularizer [D, H, W, C] -> (cost [.,.,.,bc], prob[...,1])
+    (reference ``mvs_models.py:412-443``)."""
+    base_channels: int = 8
+
+    @nn.compact
+    def __call__(self, x):
+        bc = self.base_channels
+        conv0 = ConvBNReLU(bc, 3, 1, 1)(x)
+        conv2 = ConvBNReLU(bc * 2, 3, 2, 1)(conv0)
+        conv2 = ConvBNReLU(bc * 2, 3, 1, 1)(conv2)
+        conv4 = ConvBNReLU(bc * 4, 3, 2, 1)(conv2)
+        conv4 = ConvBNReLU(bc * 4, 3, 1, 1)(conv4)
+        x = ConvBNReLU(bc * 8, 3, 2, 1)(conv4)
+        x = ConvBNReLU(bc * 8, 3, 1, 1)(x)
+        x = conv4 + ConvTransposeBNReLU(bc * 4)(x)
+        x = conv2 + ConvTransposeBNReLU(bc * 2)(x)
+        cost = conv0 + ConvTransposeBNReLU(bc)(x)
+        prob = nn.Conv(1, (3, 3, 3), padding=[(1, 1)] * 3, use_bias=False,
+                       kernel_init=torch_kaiming_uniform_conv)(cost)
+        return cost, prob
+
+
+def _variance_cost_volume(src_feats, projs, depth_values, pad: int):
+    """Masked variance volume over source views.
+
+    src_feats [V, H, W, C]; projs [V, 3, 4]; depth_values [D, H_pad, W_pad].
+    Returns variance [D, H_pad, W_pad, C] (reference ``mvs_models.py:608-625``).
+    """
+    V = src_feats.shape[0]
+    vol_sum = 0.0
+    vol_sq_sum = 0.0
+    mask_sum = jnp.ones_like(depth_values)  # the reference's extra +1 slice
+    for i in range(V):
+        warped, mask = homo_warp(src_feats[i], projs[i], depth_values, pad=pad)
+        vol_sum = vol_sum + warped
+        vol_sq_sum = vol_sq_sum + warped * warped
+        mask_sum = mask_sum + mask
+    count = (1.0 / mask_sum)[..., None]
+    return vol_sq_sum * count - (vol_sum * count) ** 2
+
+
+def _sliding_prob_mass4(prob):
+    """4-bin sliding sum along depth with (1, 2) zero padding, the
+    reference's ``4 * avg_pool3d(pad(prob, (...,1,2)), (4,1,1))``
+    (``mvs_models.py:635-636``).  prob [D, H, W] -> [D, H, W]."""
+    D = prob.shape[0]
+    p = jnp.pad(prob, ((1, 2), (0, 0), (0, 0)))
+    cs = jnp.cumsum(p, axis=0)
+    cs = jnp.concatenate([jnp.zeros_like(cs[:1]), cs], axis=0)
+    return cs[4:4 + D] - cs[0:D]
+
+
+def _depth_range_samples(cur_depth_hw, ndepth: int, interval, near, far):
+    """Re-center depth hypotheses around an upsampled previous depth
+    (reference ``get_cur_depth_range_samples``, ``mvs_models.py:536-551``)."""
+    dmin = jnp.clip(cur_depth_hw - ndepth / 2 * interval, a_min=near)
+    dmax = jnp.clip(cur_depth_hw + ndepth / 2 * interval, a_max=far)
+    new_interval = (dmax - dmin) / (ndepth - 1)
+    steps = jnp.arange(ndepth, dtype=cur_depth_hw.dtype)[:, None, None]
+    return dmin[None] + steps * new_interval[None]
+
+
+class CascadeMVSNet(nn.Module):
+    """Full 3-stage cascade (reference ``mvs_models.py:648-762``).
+
+    __call__(imgs_src, affine_mats, affine_mats_inv, near, far, pad)
+      imgs_src: [V-1, H, W, 3] ImageNet-normalized source views.
+      affine_mats / _inv: [V, 3, 4, 4] per-view per-stage K@w2c (view 0 is
+        the target/reference view, reference ``DepthNet`` :602-603).
+    Returns per-stage dict with depth / photometric_confidence /
+    volume_feature / depth_values / prob_volume, plus stage3 img_feats.
+    """
+    ndepths: Sequence[int] = (48, 32, 8)
+    depth_intervals_ratio: Sequence[int] = (4, 2, 1)
+    base_channels: int = 8
+    cr_base_chs: Sequence[int] = (8, 8, 8)
+
+    @nn.compact
+    def __call__(self, imgs_src, affine_mats, affine_mats_inv, near, far,
+                 pad: int = 0):
+        H, W = imgs_src.shape[1:3]
+        n_stages = len(self.ndepths)
+
+        per_view_featnet = nn.vmap(
+            FeatureNet, in_axes=0, out_axes=0,
+            variable_axes={"params": None}, split_rngs={"params": False})
+        feats = per_view_featnet(self.base_channels, name="feature")(imgs_src)
+
+        D0 = self.ndepths[0]
+        t = jnp.linspace(0.0, 1.0, D0, dtype=imgs_src.dtype)
+        depth_values_init = near * (1.0 - t) + far * t          # [D0]
+        depth_interval = (far - near) / D0
+
+        outputs = {}
+        depth_prev = None
+        for si in range(n_stages):
+            stage = si + 1
+            scale = 2 ** (2 - si)                                # 4, 2, 1
+            ndepth = self.ndepths[si]
+            h, w = H // scale, W // scale
+
+            if depth_prev is None:
+                # [D0, H, W] constant over pixels
+                drs = jnp.broadcast_to(depth_values_init[:, None, None],
+                                       (D0, H, W))
+            else:
+                cur = resize_bilinear(
+                    jax.lax.stop_gradient(depth_prev)[..., None],
+                    (H, W))[..., 0]
+                drs = _depth_range_samples(
+                    cur, ndepth, self.depth_intervals_ratio[si]
+                    * depth_interval, near, far)
+            # trilinear to stage resolution (mvs_models.py:741-746)
+            depth_vals = resize_trilinear(drs[..., None],
+                                          (ndepth, h, w))[..., 0]
+            stage_pad = pad if si == n_stages - 1 else 0
+            if stage_pad > 0:
+                depth_vals = jnp.pad(
+                    depth_vals,
+                    ((0, 0), (stage_pad, stage_pad), (stage_pad, stage_pad)),
+                    mode="edge")
+
+            aff = affine_mats[:, si]                             # [V, 4, 4]
+            aff_inv_ref = affine_mats_inv[0, si]                 # target view
+            projs = jnp.einsum("vij,jk->vik", aff[1:], aff_inv_ref)[:, :3]
+
+            feats_stage = feats[f"stage{stage}"]                 # [V-1,h,w,C]
+            variance = _variance_cost_volume(feats_stage, projs, depth_vals,
+                                             stage_pad)
+            cost_feat, prob_logits = CostRegNet(
+                self.cr_base_chs[si], name=f"cost_reg_{si}")(variance)
+            prob = jax.nn.softmax(prob_logits[..., 0], axis=0)   # [D,h,w]
+
+            depth = jnp.sum(prob * depth_vals, axis=0)           # [h(+2p),...]
+            # confidence stays differentiable w.r.t. prob (the reference
+            # computes it under set_grad_enabled(True), mvs_models.py:634);
+            # only the integer winner index is non-differentiable.
+            sum4 = _sliding_prob_mass4(prob)
+            idx = jnp.sum(jax.lax.stop_gradient(prob)
+                          * jnp.arange(ndepth, dtype=prob.dtype)[:, None,
+                                                                 None],
+                          axis=0)
+            idx = jnp.clip(idx.astype(jnp.int32), 0, ndepth - 1)
+            confidence = jnp.clip(
+                jnp.take_along_axis(sum4, idx[None], axis=0)[0], 0.0, 1.0)
+
+            if stage_pad > 0:
+                depth_out = depth[stage_pad:h + stage_pad,
+                                  stage_pad:w + stage_pad]
+                confidence = confidence[stage_pad:h + stage_pad,
+                                        stage_pad:w + stage_pad]
+            else:
+                depth_out = depth
+
+            outputs[f"stage{stage}"] = {
+                "depth": depth_out,
+                "photometric_confidence": confidence,
+                "volume_feature": cost_feat,                 # [D,h,w,bc]
+                "depth_values": depth_vals,                  # [D,h(+2p),w(+2p)]
+                "prob_volume": jax.lax.stop_gradient(prob),
+            }
+            depth_prev = depth_out
+
+        outputs["img_feats"] = feats["stage3"]               # [V-1, H, W, 8]
+        return outputs
