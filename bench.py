@@ -1,0 +1,109 @@
+"""Benchmark: rays/sec/chip on the reference SCARED operating point.
+
+Workload (BASELINE.md): 320x256 images, V=7 views, train step = MVS cascade
+forward + ray build (1800 patch + 200 uniform + 1024 sparse-depth rays x 90
+samples) + render + 5-term loss + backward + Adam.  Also times the eval
+render path (81,920 rays/frame).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is measured against the value recorded in
+``bench_baseline.json`` (first run writes it; see BASELINE.md protocol — the
+reference repo publishes no numbers and cannot run here, so the baseline is
+our first measured round).
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/ucnerf_jax_cache"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ucnerf_tpu.config import Config
+from ucnerf_tpu.models.factory import create_models, init_params
+from ucnerf_tpu.train.loop import (TrainState, make_optimizer,
+                                   make_train_step, make_eval_render,
+                                   to_device_batch)
+
+H, W = 256, 320
+WARMUP = 3
+ITERS = 20
+
+
+def main():
+    cfg = Config(dataset_name="synthetic", view_num=7, batch_size=2000,
+                 patch_size=6, patch_num=50, n_depth_rays=1024, N_samples=90,
+                 num_epochs=30, chunk=8192)
+    from ucnerf_tpu.data.synthetic import SyntheticDataset
+    ds = SyntheticDataset("", split="train", n_views=cfg.view_num,
+                          img_wh=(W, H), n_depth_rays=cfg.n_depth_rays,
+                          n_sparse=1024, n_images=16)
+
+    nerf, mvs = create_models(cfg)
+    params = init_params(cfg, jax.random.PRNGKey(0), (H, W))
+    tx = make_optimizer(cfg, steps_per_epoch=200)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step = make_train_step(cfg, nerf, mvs, tx)
+    batch = to_device_batch(ds[0])
+
+    key = jax.random.PRNGKey(1)
+    for _ in range(WARMUP):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, batch, sub)
+    jax.block_until_ready(metrics)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, batch, sub)
+    jax.block_until_ready(metrics)
+    dt = (time.perf_counter() - t0) / ITERS
+    train_rays_per_sec = cfg.n_train_rays / dt
+
+    # eval render path
+    render_view = make_eval_render(cfg, nerf, mvs, (H, W))
+    rgb, depth, conf = render_view(state.params, batch)   # compile
+    jax.block_until_ready(rgb)
+    t0 = time.perf_counter()
+    n_frames = 3
+    for _ in range(n_frames):
+        rgb, depth, conf = render_view(state.params, batch)
+    jax.block_until_ready(rgb)
+    dt_render = (time.perf_counter() - t0) / n_frames
+    render_rays_per_sec = H * W / dt_render
+
+    value = train_rays_per_sec
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_baseline.json")
+    if os.path.exists(base_path):
+        with open(base_path) as fh:
+            baseline = json.load(fh)["train_rays_per_sec"]
+    else:
+        baseline = value
+        with open(base_path, "w") as fh:
+            json.dump({"train_rays_per_sec": value,
+                       "render_rays_per_sec": render_rays_per_sec,
+                       "device": str(jax.devices()[0]),
+                       "note": "round-1 first measurement (see BASELINE.md)"},
+                      fh, indent=1)
+
+    print(json.dumps({
+        "metric": "train_rays_per_sec_per_chip",
+        "value": round(value, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(value / baseline, 3),
+        "extra": {
+            "train_step_ms": round(dt * 1e3, 2),
+            "render_rays_per_sec": round(render_rays_per_sec, 1),
+            "render_frame_ms": round(dt_render * 1e3, 2),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""Checkpoint conversion round-trip, orbax save/load, and metric parity."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ucnerf_tpu.config import Config
+from ucnerf_tpu.models.factory import init_params
+from ucnerf_tpu.utils import checkpoint_io as cio
+
+
+@pytest.fixture(scope="module")
+def params():
+    cfg = Config(view_num=4, N_samples=9)
+    return init_params(cfg, jax.random.PRNGKey(0), (32, 64))
+
+
+def _trees_equal(a, b):
+    fa, ta = jax.tree.flatten(a)
+    fb, tb = jax.tree.flatten(b)
+    assert ta == tb, f"treedefs differ:\n{ta}\n{tb}"
+    for x, y in zip(fa, fb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_nerf_state_dict_roundtrip(params):
+    sd = cio.export_nerf_state_dict(params["nerf"])
+    back = cio.convert_nerf_state_dict(sd)
+    _trees_equal(params["nerf"], back)
+
+
+def test_casmvsnet_state_dict_roundtrip(params):
+    sd = cio.export_casmvsnet_state_dict(params["mvs"])
+    back = cio.convert_casmvsnet_state_dict(sd)
+    _trees_equal(params["mvs"], back)
+
+
+def test_torch_tar_roundtrip(tmp_path, params):
+    """Full ucnerf.tar round trip through torch serialization."""
+    import torch
+    sd_nerf = {k: torch.from_numpy(np.asarray(v).copy())
+               for k, v in cio.export_nerf_state_dict(params["nerf"]).items()}
+    sd_mvs = {k: torch.from_numpy(np.asarray(v).copy())
+              for k, v in
+              cio.export_casmvsnet_state_dict(params["mvs"]).items()}
+    path = str(tmp_path / "ucnerf.tar")
+    torch.save({"network_fn_state_dict": sd_nerf,
+                "network_mvs_state_dict": sd_mvs}, path)
+    back = cio.convert_reference_checkpoint(path)
+    _trees_equal(params["nerf"], back["nerf"])
+    _trees_equal(params["mvs"], back["mvs"])
+
+
+def test_orbax_roundtrip(tmp_path, params):
+    import optax
+    from ucnerf_tpu.train.loop import TrainState
+    tx = optax.adam(1e-3)
+    state = TrainState(params, tx.init(params), jnp.asarray(7, jnp.int32))
+    path = cio.save_checkpoint(str(tmp_path), state, 7)
+    restored = cio.load_checkpoint(path, state)
+    _trees_equal(state.params, restored.params)
+    assert int(restored.step) == 7
+
+
+def test_psnr_matches_reference_definition(rng):
+    from ucnerf_tpu.eval.metrics import rgb_evaluation
+    gts = rng.uniform(size=(3, 16, 24, 3)).astype(np.float32)
+    preds = np.clip(gts + 0.05 * rng.standard_normal(gts.shape), 0,
+                    1).astype(np.float32)
+    psnr_v, ssim_v, lpips_v = rgb_evaluation(gts, preds)
+    mse = ((gts - preds) ** 2).mean(-1).mean(-1).mean(-1)
+    expected = (-10 * np.log10(mse)).mean()
+    np.testing.assert_allclose(psnr_v, expected, rtol=1e-6)
+    assert 0 < ssim_v <= 1
+    assert np.isnan(lpips_v)   # no pretrained weights in this environment
+
+
+def test_ssim_identity_and_monotonicity(rng):
+    from ucnerf_tpu.eval.metrics import ssim
+    img = rng.uniform(size=(32, 32, 3)).astype(np.float32)
+    assert float(ssim(img, img)) == pytest.approx(1.0, abs=1e-5)
+    a = float(ssim(img, np.clip(img + 0.02, 0, 1)))
+    b = float(ssim(img, np.clip(img + 0.2, 0, 1)))
+    assert a > b
+
+
+def test_depth_evaluation_perfect_after_scaling(rng):
+    from ucnerf_tpu.eval.metrics import depth_evaluation
+    gt = rng.uniform(1.0, 3.0, size=(2, 16, 16)).astype(np.float32)
+    pred = gt * 0.5                      # constant scale -> fixed by median
+    errs = depth_evaluation(gt, pred)
+    assert errs[0] < 1e-6                # abs_rel
+    assert errs[4] == 1.0                # a1
+
+
+def test_ssim_matches_torch_reference_impl(rng):
+    """Cross-check our SSIM against an independent torch implementation of
+    the skimage algorithm (uniform 7x7, sample covariance, border crop)."""
+    import torch
+    import torch.nn.functional as F
+    from ucnerf_tpu.eval.metrics import ssim
+
+    def torch_ssim(x, y, win=7, data_range=1.0):
+        pad = (win - 1) // 2
+        C1 = (0.01 * data_range) ** 2
+        C2 = (0.03 * data_range) ** 2
+        NP = win * win
+        cov_norm = NP / (NP - 1)
+        k = torch.ones(1, 1, win, win) / NP
+        vals = []
+        for c in range(x.shape[-1]):
+            xx = torch.from_numpy(x[..., c])[None, None]
+            yy = torch.from_numpy(y[..., c])[None, None]
+            ux = F.conv2d(xx, k)
+            uy = F.conv2d(yy, k)
+            uxx = F.conv2d(xx * xx, k)
+            uyy = F.conv2d(yy * yy, k)
+            uxy = F.conv2d(xx * yy, k)
+            vx = cov_norm * (uxx - ux * ux)
+            vy = cov_norm * (uyy - uy * uy)
+            vxy = cov_norm * (uxy - ux * uy)
+            s = ((2 * ux * uy + C1) * (2 * vxy + C2) /
+                 ((ux * ux + uy * uy + C1) * (vx + vy + C2)))
+            vals.append(float(s.mean()))
+        return float(np.mean(vals))
+
+    x = rng.uniform(size=(24, 20, 3)).astype(np.float32)
+    y = np.clip(x + 0.1 * rng.standard_normal(x.shape), 0,
+                1).astype(np.float32)
+    np.testing.assert_allclose(float(ssim(x, y)), torch_ssim(x, y),
+                               rtol=1e-4)

@@ -1,0 +1,85 @@
+"""End-to-end: synthetic scene -> jitted train step -> loss decreases,
+plus a full-image eval render."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ucnerf_tpu.config import Config
+from ucnerf_tpu.data import build_dataset
+from ucnerf_tpu.models.factory import create_models, init_params
+from ucnerf_tpu.train.loop import (TrainState, make_optimizer,
+                                   make_train_step, make_eval_render,
+                                   to_device_batch)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return Config(dataset_name="synthetic", view_num=4, N_samples=9,
+                  batch_size=80, patch_size=4, patch_num=4,
+                  n_depth_rays=32, chunk=256, num_epochs=4, lrate=5e-4)
+
+
+@pytest.fixture(scope="module")
+def dataset(cfg):
+    return build_dataset(cfg.replace(datadir=""), "train")
+
+
+def test_dataset_contract(cfg, dataset):
+    s = dataset[0]
+    V = cfg.view_num
+    H, W = 32, 64
+    assert s["images"].shape == (V, H, W, 3)
+    assert s["w2cs"].shape == (V, 4, 4)
+    assert s["affine_mat"].shape == (V, 3, 4, 4)
+    assert s["sparse_coords"].shape == (cfg.n_depth_rays, 2)
+    assert s["sparse_mask"].shape == (cfg.n_depth_rays,)
+    assert s["sparse_depth_ms"]["stage1"].shape == (H // 4, W // 4)
+    assert s["dpt"].shape == (H, W)
+    # w2c @ c2w == identity
+    np.testing.assert_allclose(s["w2cs"][0] @ s["c2ws"][0], np.eye(4),
+                               atol=1e-5)
+    # affine mats invert correctly
+    np.testing.assert_allclose(
+        s["affine_mat"][1, 2] @ s["affine_mat_inv"][1, 2], np.eye(4),
+        atol=1e-4)
+    # sparse depth values lie within near/far-ish range
+    sd = s["sparse_depths"][s["sparse_depths"] > 0]
+    assert sd.min() > 0.5 and sd.max() < 3.0
+
+
+def test_train_step_decreases_loss(cfg, dataset):
+    nerf, mvs = create_models(cfg)
+    params = init_params(cfg, jax.random.PRNGKey(0), (32, 64))
+    tx = make_optimizer(cfg, steps_per_epoch=len(dataset))
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step = make_train_step(cfg, nerf, mvs, tx)
+
+    batch = to_device_batch(dataset[0])
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(12):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, batch, sub)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    # overfitting a single sample must reduce the loss substantially
+    assert losses[-1] < losses[0] * 0.9, losses
+    assert float(metrics["psnr"]) > 0
+
+
+def test_eval_render_shapes(cfg, dataset):
+    nerf, mvs = create_models(cfg)
+    params = init_params(cfg, jax.random.PRNGKey(0), (32, 64))
+    render_view = make_eval_render(cfg, nerf, mvs, (32, 64))
+    batch = to_device_batch(dataset[0])
+    rgb, depth, conf = render_view(params, batch)
+    assert rgb.shape == (32, 64, 3)
+    assert depth.shape == (32, 64)
+    assert conf.shape == (32, 64)
+    assert np.isfinite(np.asarray(rgb)).all()
+    assert np.asarray(rgb).min() >= 0 and np.asarray(rgb).max() <= 1
+    d = np.asarray(depth)
+    assert d.min() > 0

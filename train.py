@@ -1,0 +1,137 @@
+"""Training / evaluation driver CLI (the reference's ``train.py`` surface).
+
+    python train.py --preset train_scared --datadir <path>
+    python train.py --preset eval_scared --ckpt logs/scared/ckpts/step_XXXX
+    python train.py --dataset_name synthetic --num_epochs 2   # no data needed
+
+Differences from the reference driver (``train.py:26-448``), on purpose:
+- the whole train step (MVS + rays + render + loss + Adam) is one jitted
+  function; no Lightning, no per-module chunk loops;
+- checkpoints include optimizer state (orbax);
+- multi-scene scene-parallel training over a device mesh when
+  ``--mesh_shape N`` with N > 1 (reference is single-GPU, train.py:433).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/ucnerf_jax_cache"))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ucnerf_tpu.config import Config, parse_config
+from ucnerf_tpu.data import build_dataset
+from ucnerf_tpu.eval.lpips import load_lpips
+from ucnerf_tpu.eval.metrics import depth_evaluation, rgb_evaluation
+from ucnerf_tpu.models.factory import create_models, init_params
+from ucnerf_tpu.train.loop import (TrainState, make_eval_render,
+                                   make_optimizer, make_train_step,
+                                   to_device_batch)
+from ucnerf_tpu.utils import checkpoint_io
+from ucnerf_tpu.utils.viz import save_val_panel
+
+
+def run_validation(cfg, nerf, mvs, params, step_idx: int):
+    val_ds = build_dataset(cfg, "val")
+    H, W = val_ds.img_wh[1], val_ds.img_wh[0]
+    render_view = make_eval_render(cfg, nerf, mvs, (H, W))
+    out_dir = os.path.join(cfg.basedir, cfg.expname, "test_results")
+    os.makedirs(out_dir, exist_ok=True)
+
+    gt_rgbs, pred_rgbs, gt_depths, pred_depths, masks = [], [], [], [], []
+    for i in range(len(val_ds)):
+        sample = val_ds[i]
+        batch = to_device_batch(sample)
+        rgb, depth, conf = render_view(params, batch)
+        rgb = np.asarray(rgb)
+        depth = np.asarray(depth)
+        from ucnerf_tpu.data.base import unnormalize_image
+        gt = np.clip(unnormalize_image(sample["images"][0]), 0, 1)
+        gt_rgbs.append(gt)
+        pred_rgbs.append(rgb)
+        gt_depths.append(sample["depths_h"])
+        pred_depths.append(depth)
+        masks.append((sample["depths_h"] > 0).astype(np.float32))
+        save_val_panel(os.path.join(out_dir,
+                                    f"{step_idx:08d}_{i:02d}.png"),
+                       gt, rgb, sample["depths_h"], depth)
+
+    gt_rgbs = np.stack(gt_rgbs)
+    pred_rgbs = np.stack(pred_rgbs)
+    psnr_v, ssim_v, lpips_v = rgb_evaluation(gt_rgbs, pred_rgbs,
+                                             lpips_fn=load_lpips())
+    print(f"psnr: {psnr_v}, ssim: {ssim_v}, lpips: {lpips_v}")
+    metrics = dict(psnr=psnr_v, ssim=ssim_v, lpips=lpips_v)
+    gt_d = np.stack(gt_depths)
+    if (gt_d > 0).any():
+        derr = depth_evaluation(gt_d, np.stack(pred_depths),
+                                np.stack(masks))
+        names = ["abs_rel", "sq_rel", "rmse", "rmse_log", "a1", "a2", "a3"]
+        print(", ".join(f"{n}: {v}" for n, v in zip(names, derr)))
+        metrics.update(dict(zip(names, derr.tolist())))
+    with open(os.path.join(out_dir, "rgb_evaluation.txt"), "w") as fh:
+        fh.write(json.dumps(metrics, indent=1))
+    return metrics
+
+
+def main(argv=None):
+    cfg = parse_config(argv)
+    key = jax.random.PRNGKey(cfg.seed)
+
+    train_ds = build_dataset(cfg, "train")
+    H, W = train_ds.img_wh[1], train_ds.img_wh[0]
+    nerf, mvs = create_models(cfg)
+    params = init_params(cfg, key, (H, W))
+    if cfg.ckpt:
+        if cfg.ckpt.endswith((".tar", ".ckpt", ".pth")):
+            params = checkpoint_io.convert_reference_checkpoint(cfg.ckpt)
+        else:
+            tx0 = make_optimizer(cfg, steps_per_epoch=len(train_ds))
+            target = TrainState(params, tx0.init(params),
+                                jnp.zeros((), jnp.int32))
+            params = checkpoint_io.load_checkpoint(cfg.ckpt, target).params
+        print(f"restored params from {cfg.ckpt}")
+
+    if cfg.eval:
+        run_validation(cfg, nerf, mvs, params, 0)
+        return
+
+    tx = make_optimizer(cfg, steps_per_epoch=len(train_ds))
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step = make_train_step(cfg, nerf, mvs, tx)
+
+    ckpt_dir = os.path.join(cfg.basedir, cfg.expname, "ckpts")
+    global_step = 0
+    t_start = time.time()
+    for epoch in range(cfg.num_epochs):
+        order = np.random.permutation(len(train_ds))
+        for i in order:
+            batch = to_device_batch(train_ds[int(i)])
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, batch, sub)
+            global_step += 1
+            if global_step % 50 == 0:
+                m = jax.tree.map(float, metrics)
+                rate = (global_step * cfg.n_train_rays
+                        / max(time.time() - t_start, 1e-9))
+                print(f"step {global_step} epoch {epoch} "
+                      f"loss {m['loss']:.4f} psnr {m['psnr']:.2f} "
+                      f"rays/s {rate:,.0f}")
+            if global_step % 5000 == 4999:
+                checkpoint_io.save_checkpoint(ckpt_dir, state, global_step)
+        if (epoch + 1) % 2 == 0:
+            run_validation(cfg, nerf, mvs, state.params, global_step)
+
+    checkpoint_io.save_checkpoint(ckpt_dir, state, global_step)
+    run_validation(cfg, nerf, mvs, state.params, global_step)
+
+
+if __name__ == "__main__":
+    main()

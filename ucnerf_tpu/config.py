@@ -43,6 +43,8 @@ class Config:
     view_num: int = 5                 # V: 1 target + (V-1) source views
 
     # ray budget (reference opt.py:20-24, 80; utils/utils.py:434,450-480)
+    samples_per_scene: int = 200      # train metas per scene per epoch
+                                      # (reference data/scared.py:255)
     batch_size: int = 2000            # N_rays: patch + uniform rays per step
     patch_size: int = 6
     patch_num: int = 50

@@ -1,0 +1,24 @@
+"""Dataset registry (reference ``data/__init__.py:4-6``, with the missing
+``finetune`` registration fixed and a procedural ``synthetic`` scene added)."""
+
+from ucnerf_tpu.data.scared import ScaredDataset, HamlynDataset
+from ucnerf_tpu.data.finetune import FinetuneDataset
+from ucnerf_tpu.data.synthetic import SyntheticDataset
+
+dataset_dict = {
+    "scared": ScaredDataset,
+    "hamlyn": HamlynDataset,
+    "finetune": FinetuneDataset,
+    "synthetic": SyntheticDataset,
+}
+
+
+def build_dataset(cfg, split: str):
+    """Construct the configured dataset for a split."""
+    cls = dataset_dict[cfg.dataset_name]
+    kw = dict(split=split, n_views=cfg.view_num,
+              n_depth_rays=cfg.n_depth_rays,
+              max_train_samples=cfg.samples_per_scene)
+    if cfg.dataset_name == "finetune" and cfg.finetune:
+        kw["finetune_scan"] = cfg.finetune
+    return cls(cfg.datadir, **kw)

@@ -1,0 +1,99 @@
+"""SCARED dataset (reference ``data/scared.py:151-522``).
+
+Scene layout on disk (reference README.md:31-49):
+  <scan>/images/*.jpeg        1280x1024 endoscope frames
+  <scan>/depths/*.png         GT depth, uint16 millimetres
+  <scan>/dpt/*.npz            DPT monocular prior ('pred')
+  <scan>/sparse/0/*.bin       COLMAP sparse model
+  <scan>/poses_bounds.npy     LLFF poses
+
+Fixed 0.25 downsample -> 320x256 (``data/scared.py:164-167``); GT depth
+mm -> m (``:350``).  Heavy per-scene work is cached to ``_ucnerf_cache.npz``
+instead of recomputed (and re-written) on every construction
+(reference defect at ``data/scared.py:343``).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import cv2
+import numpy as np
+from PIL import Image as PILImage
+
+from ucnerf_tpu.data.base import (SceneDataset, load_colmap_sparse_depth,
+                                  normalize_image)
+from ucnerf_tpu.data.llff import load_poses_bounds, prepare_scene_poses
+
+
+class ScaredDataset(SceneDataset):
+    downsample = 0.25
+    native_wh = (1280, 1024)
+    img_ext = "jpeg"
+    depth_scale = 1.0 / 1000.0  # mm -> m
+
+    def __init__(self, datadir, split="train", n_views=7, **kw):
+        img_wh = (int(self.native_wh[0] * self.downsample),
+                  int(self.native_wh[1] * self.downsample))
+        assert img_wh[0] % 32 == 0 and img_wh[1] % 32 == 0
+        super().__init__(datadir, split, n_views, img_wh, **kw)
+
+    # ------------------------------------------------------------ IO helpers
+    def _read_image(self, path):
+        img = PILImage.open(path).resize(self.img_wh, PILImage.BILINEAR)
+        img01 = np.asarray(img, np.float32)[..., :3] / 255.0
+        return normalize_image(img01)
+
+    def _read_gt_depth(self, path):
+        d = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        if d is None:
+            return np.zeros((self.img_wh[1], self.img_wh[0]), np.float32)
+        d = d.astype(np.float32) * self.depth_scale
+        return cv2.resize(d, None, fx=self.downsample, fy=self.downsample,
+                          interpolation=cv2.INTER_NEAREST)
+
+    def _read_dpt(self, path):
+        if not os.path.exists(path):
+            return np.zeros((self.img_wh[1], self.img_wh[0]), np.float32)
+        d = np.load(path)["pred"]
+        if d.ndim == 3:
+            d = d[0]
+        return cv2.resize(d.astype(np.float32), self.img_wh)
+
+    # ------------------------------------------------------------ scene load
+    def _load_scene(self, scan):
+        sdir = self._scene_dir(scan)
+        img_paths = sorted(glob.glob(os.path.join(sdir, "images/*")))
+        pose_info = prepare_scene_poses(
+            os.path.join(sdir, "poses_bounds.npy"), self.img_wh)
+        _, bds_raw = load_poses_bounds(os.path.join(sdir, "poses_bounds.npy"))
+
+        sparse = load_colmap_sparse_depth(
+            sdir, self.img_wh, factor=1.0 / self.downsample, bds_raw=bds_raw)
+
+        images, depths, dpts = [], [], []
+        for p in img_paths:
+            images.append(self._read_image(p))
+            dpath = (p.replace("images", "depths")
+                     .replace(self.img_ext, "png"))
+            depths.append(self._read_gt_depth(dpath))
+            dpt_path = (p.replace("images", "dpt")
+                        .replace(self.img_ext, "npz"))
+            dpts.append(self._read_dpt(dpt_path))
+
+        return dict(
+            images=np.stack(images), depths=np.stack(depths),
+            dpt=np.stack(dpts), sparse=sparse,
+            c2ws=pose_info["c2ws"], w2cs=pose_info["w2cs"],
+            intrinsic=pose_info["intrinsic"], near_far=pose_info["near_far"],
+            bounds=pose_info["bounds"])
+
+
+class HamlynDataset(ScaredDataset):
+    """Hamlyn (reference ``data/hamlyn.py:208-579``): 320x256 native images,
+    no mm scaling, .jpg extension."""
+    downsample = 1.0
+    native_wh = (320, 256)
+    img_ext = "jpg"
+    depth_scale = 1.0

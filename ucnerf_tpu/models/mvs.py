@@ -127,8 +127,8 @@ def _sliding_prob_mass4(prob):
 def _depth_range_samples(cur_depth_hw, ndepth: int, interval, near, far):
     """Re-center depth hypotheses around an upsampled previous depth
     (reference ``get_cur_depth_range_samples``, ``mvs_models.py:536-551``)."""
-    dmin = jnp.clip(cur_depth_hw - ndepth / 2 * interval, a_min=near)
-    dmax = jnp.clip(cur_depth_hw + ndepth / 2 * interval, a_max=far)
+    dmin = jnp.clip(cur_depth_hw - ndepth / 2 * interval, min=near)
+    dmax = jnp.clip(cur_depth_hw + ndepth / 2 * interval, max=far)
     new_interval = (dmax - dmin) / (ndepth - 1)
     steps = jnp.arange(ndepth, dtype=cur_depth_hw.dtype)[:, None, None]
     return dmin[None] + steps * new_interval[None]

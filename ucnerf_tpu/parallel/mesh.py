@@ -1,0 +1,38 @@
+"""Device meshes and shardings.
+
+The reference has no distributed training (single GPU hard-coded,
+reference ``train.py:433``).  The TPU-native scaling axis for UC-NeRF is
+**scene-data parallelism**: each training sample is one scene tuple
+(1 target + V-1 source views), so a batch of scenes shards cleanly over the
+mesh with replicated parameters — gradients reduce over ICI via the psum
+that pjit inserts automatically for the replicated-param outer product.
+SURVEY.md §2.4 lays out this plan.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(mesh_shape: Sequence[int] = None,
+              axis_names: Sequence[str] = ("data",)) -> Mesh:
+    devices = np.array(jax.devices())
+    if mesh_shape is None:
+        mesh_shape = (len(devices),)
+    devices = devices[:int(np.prod(mesh_shape))].reshape(mesh_shape)
+    return Mesh(devices, axis_names)
+
+
+def scene_batch_sharding(mesh: Mesh, axis: str = "data"):
+    """Sharding for a scene-batched sample pytree: leading dim = scenes."""
+    def spec_for(leaf):
+        return NamedSharding(mesh, P(axis, *([None] * (leaf.ndim - 1))))
+    return spec_for
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())

@@ -1,0 +1,195 @@
+"""Jitted training / evaluation steps.
+
+The reference's training_step (``train.py:110-211``) is a python pipeline of
+MVS forward -> build_rays -> rendering -> 5-term loss -> Lightning autograd.
+Here the *entire* step — including ray generation — is one jit-compiled pure
+function of (params, opt_state, batch, rng), so XLA fuses featurization into
+the MLP matmuls and nothing round-trips to host.
+
+LR schedule: Adam β=(0.9,0.999) + per-epoch cosine annealing to eps
+(reference ``train.py:85-92``).  ``--finetune`` freezes the MVS tree via a
+zero-gradient mask (reference ``network/models.py:249-250``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ucnerf_tpu.config import Config
+from ucnerf_tpu.data.base import IMAGENET_MEAN, IMAGENET_STD
+from ucnerf_tpu.ops.rays import build_train_rays, build_test_rays
+from ucnerf_tpu.render.renderer import render_rays, render_image_chunked
+from ucnerf_tpu.train.losses import total_loss
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def cosine_epoch_schedule(lrate: float, num_epochs: int,
+                          steps_per_epoch: int, eta_min: float = 1e-7):
+    """torch CosineAnnealingLR(T_max=num_epochs) stepped once per epoch."""
+    def schedule(step):
+        epoch = jnp.minimum(step // steps_per_epoch, num_epochs)
+        return eta_min + (lrate - eta_min) * 0.5 * (
+            1.0 + jnp.cos(jnp.pi * epoch / num_epochs))
+    return schedule
+
+
+def make_optimizer(cfg: Config, steps_per_epoch: int):
+    sched = cosine_epoch_schedule(cfg.lrate, cfg.num_epochs, steps_per_epoch)
+    tx = optax.adam(sched, b1=0.9, b2=0.999)
+    if cfg.finetune is not None:
+        # freeze the MVS ("Consistency Learner") parameters
+        def mask_fn(params):
+            return {"nerf": jax.tree.map(lambda _: True, params["nerf"]),
+                    "mvs": jax.tree.map(lambda _: False, params["mvs"])}
+        tx = optax.masked(tx, mask_fn)
+    return tx
+
+
+def unnormalize(images):
+    """Undo ImageNet normalization (reference ``unpreprocess``,
+    ``train.py:61-70``); images [..., 3] channel-last."""
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+    return images * std + mean
+
+
+def _stage_planes(mvs_out, pad: int):
+    """Per-stage (near, far) depth planes for ray building
+    (reference ``utils/utils.py:524-541``).  For pad > 0 the reference
+    indexes the padded stage-3 planes with unpadded pixel coords (an
+    off-by-pad quirk); we crop the pad so coordinates line up."""
+    planes = {}
+    for k in (1, 2, 3):
+        dv = mvs_out[f"stage{k}"]["depth_values"]
+        near_p, far_p = dv[0], dv[-1]
+        if k == 3 and pad > 0:
+            near_p = near_p[pad:-pad, pad:-pad]
+            far_p = far_p[pad:-pad, pad:-pad]
+        planes[k] = (near_p, far_p)
+    return planes
+
+
+def forward_scene(cfg: Config, nerf, mvs, params, batch, key,
+                  train: bool = True):
+    """MVS forward + ray build + render for one scene sample."""
+    imgs_norm = batch["images"]                       # [V, H, W, 3]
+    imgs = unnormalize(imgs_norm)
+    near, far = batch["near_fars"][0, 0], batch["near_fars"][0, 1]
+
+    mvs_out = mvs.apply({"params": params["mvs"]}, imgs_norm[1:],
+                        batch["affine_mat"], batch["affine_mat_inv"],
+                        near, far, pad=cfg.pad)
+    confidence = mvs_out["stage3"]["photometric_confidence"]
+
+    rays = build_train_rays(
+        key,
+        image_tgt=imgs[0], confidence=confidence,
+        sparse_coords=batch["sparse_coords"],
+        sparse_mask=batch["sparse_mask"],
+        intrinsic=batch["intrinsics"][0], c2w=batch["c2ws"][0],
+        w2c_ref=batch["w2cs"][0], intrinsic_ref=batch["intrinsics"][0],
+        near_ref=near, far_ref=far,
+        stage_planes=_stage_planes(mvs_out, cfg.pad),
+        patch_size=cfg.patch_size, patch_num=cfg.patch_num,
+        n_uniform=cfg.n_uniform_rays, n_samples=cfg.N_samples,
+        jitter=train and cfg.perturb > 0)
+
+    def nerf_apply(pts, dirs, feats):
+        return nerf.apply({"params": params["nerf"]}, pts, dirs, feats)
+
+    rgb, depth = render_rays(nerf_apply, rays, mvs_out, confidence,
+                             imgs[1:], batch["w2cs"][1:],
+                             batch["intrinsics"][1:], batch["w2cs"][0],
+                             white_bkgd=cfg.white_bkgd)
+    return rgb, depth, rays, mvs_out
+
+
+def make_train_step(cfg: Config, nerf, mvs, tx):
+    """Build the jitted single-scene train step."""
+
+    def loss_fn(params, batch, key):
+        rgb, depth, rays, mvs_out = forward_scene(cfg, nerf, mvs, params,
+                                                  batch, key, train=True)
+        coords = rays["pixel_coords"]                # [(patch|unif|depth), 2]
+        patch_pts = cfg.n_patch_rays
+        n_fixed = cfg.batch_size
+
+        dpt_patches = batch["dpt"][coords[:patch_pts, 0],
+                                   coords[:patch_pts, 1]].reshape(
+            cfg.patch_num, cfg.patch_size, cfg.patch_size)
+        dcoords = coords[n_fixed:]
+        target_depths = batch["sparse_depths"][dcoords[:, 0], dcoords[:, 1]]
+        target_weights = batch["sparse_weights"][dcoords[:, 0], dcoords[:, 1]]
+
+        loss, metrics = total_loss(
+            cfg, rgb=rgb, target_rgb=rays["colors"], depth_pred=depth,
+            mvs_out=mvs_out, sparse_depth_ms=batch["sparse_depth_ms"],
+            weight_ms=batch["weight_ms"], target_depths=target_depths,
+            target_weights=target_weights,
+            depth_ray_mask=rays["depth_ray_mask"], dpt_patches=dpt_patches,
+            n_rays_fixed=n_fixed)
+        return loss, metrics
+
+    @jax.jit
+    def train_step(state: TrainState, batch, key):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, key)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
+def make_eval_render(cfg: Config, nerf, mvs, img_hw: Tuple[int, int]):
+    """Full-image eval render (reference ``validation_step``,
+    ``train.py:213-324``): one MVS forward, then lax.map over ray tiles."""
+    H, W = img_hw
+
+    @jax.jit
+    def render_view(params, batch):
+        imgs_norm = batch["images"]
+        imgs = unnormalize(imgs_norm)
+        near, far = batch["near_fars"][0, 0], batch["near_fars"][0, 1]
+        mvs_out = mvs.apply({"params": params["mvs"]}, imgs_norm[1:],
+                            batch["affine_mat"], batch["affine_mat_inv"],
+                            near, far, pad=cfg.pad)
+        confidence = mvs_out["stage3"]["photometric_confidence"]
+        planes = _stage_planes(mvs_out, cfg.pad)
+
+        def build_chunk(pix):
+            return build_test_rays(
+                pix, H=H, W=W, intrinsic=batch["intrinsics"][0],
+                c2w=batch["c2ws"][0], w2c_ref=batch["w2cs"][0],
+                intrinsic_ref=batch["intrinsics"][0], near_ref=near,
+                far_ref=far, stage_planes=planes, n_samples=cfg.N_samples)
+
+        def nerf_apply(pts, dirs, feats):
+            return nerf.apply({"params": params["nerf"]}, pts, dirs, feats)
+
+        def render_chunk(rays):
+            return render_rays(nerf_apply, rays, mvs_out, confidence,
+                               imgs[1:], batch["w2cs"][1:],
+                               batch["intrinsics"][1:], batch["w2cs"][0],
+                               white_bkgd=cfg.white_bkgd)
+
+        rgb, depth = render_image_chunked(build_chunk, render_chunk, H, W,
+                                          cfg.chunk)
+        return jnp.clip(rgb, 0.0, 1.0), depth, confidence
+
+    return render_view
+
+
+def to_device_batch(sample: Dict) -> Dict:
+    """numpy sample -> jnp pytree (drops host-only fields if any)."""
+    return jax.tree.map(jnp.asarray, sample)

@@ -1,0 +1,237 @@
+"""Checkpointing: orbax for native checkpoints + torch-checkpoint conversion.
+
+Native format: orbax save of {params: {nerf, mvs}, opt_state, step} —
+unlike the reference, optimizer state IS saved/restored (the reference
+drops it, ``train.py:404-413`` / ``network/models.py:253-266``).
+
+Torch conversion: maps the reference's ``ucnerf.tar``
+({network_fn_state_dict, network_mvs_state_dict}) and the published
+``casmvsnet.ckpt`` ({'model': ...}) state dicts onto our parameter trees so
+pretrained weights can be evaluated for parity (SURVEY.md §7 step 3-4).
+torch itself is imported lazily and only used host-side.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict
+
+import numpy as np
+
+import jax
+
+
+# ------------------------------------------------------------------ orbax
+def save_checkpoint(ckpt_dir: str, state, step: int):
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step:08d}"))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.tree.map(np.asarray, state._asdict()))
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_checkpoint(path: str, target_state):
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path),
+                             jax.tree.map(np.asarray,
+                                          target_state._asdict()))
+    return type(target_state)(**restored)
+
+
+# ----------------------------------------------------- torch -> jax mapping
+def _t2j_linear(sd, prefix):
+    return {"Dense_0": {"kernel": sd[prefix + ".weight"].T,
+                        "bias": sd[prefix + ".bias"]}}
+
+
+def _t2j_conv(sd, prefix, spatial):
+    """torch conv weight (Cout, Cin, *k) -> flax (*k, Cin, Cout)."""
+    w = sd[prefix + ".weight"]
+    perm = tuple(range(2, 2 + spatial)) + (1, 0)
+    out = {"kernel": np.transpose(w, perm)}
+    if prefix + ".bias" in sd:
+        out["bias"] = sd[prefix + ".bias"]
+    return out
+
+
+def _t2j_convT(sd, prefix, spatial):
+    """torch ConvTranspose weight (Cin, Cout, *k) -> ours (*k, Cout, Cin)."""
+    w = sd[prefix + ".weight"]
+    perm = tuple(range(2, 2 + spatial)) + (1, 0)
+    return {"kernel": np.transpose(w, perm)}
+
+
+def _t2j_bn(sd, prefix):
+    return {"scale": sd[prefix + ".weight"], "bias": sd[prefix + ".bias"]}
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if "model" in obj:                       # casmvsnet.ckpt
+        obj = obj["model"]
+    return {k: v.detach().cpu().numpy() for k, v in obj.items()
+            if hasattr(v, "detach")}
+
+
+def convert_nerf_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
+    """reference UCNeRF ``network_fn_state_dict`` -> our nerf param tree.
+
+    Layer name map (reference ``network/models.py:87-106`` vs our
+    ``BaseAdaptRenderer``).  The reference's unused layers
+    (feature_linear_1, confi_linear, pts_bias_confidence_1) are dropped.
+    """
+    p = {}
+    def lin(name):
+        return _t2j_linear(sd, "nerf." + name)
+    names = ["pts_bias_depth_fine", "pts_bias_confidence", "feature_linear",
+             "confi_rgb_linear", "alpha_linear_1", "rgb_linear",
+             "alpha_linear"]
+    for n in names:
+        p[n] = lin(n)
+    for i in range(6):
+        p[f"pts_linears_{i}"] = lin(f"pts_linears.{i}")
+    p["views_linears_0"] = lin("views_linears.0")
+    p["view_confi_linears_0"] = lin("view_confi_linears.0")
+    return {"nerf": p}
+
+
+def _conv_block(sd, prefix, spatial, bn=True):
+    """reference Conv2d/Conv3d wrapper module -> our ConvBNReLU params."""
+    out = {"Conv_0": _t2j_conv(sd, prefix + ".conv", spatial)}
+    if bn:
+        out["BatchStatNorm_0"] = _t2j_bn(sd, prefix + ".bn")
+    return out
+
+
+def _deconv_block(sd, prefix, spatial):
+    out = _t2j_convT(sd, prefix + ".conv", spatial)
+    res = {"kernel": out["kernel"]}
+    res_bn = _t2j_bn(sd, prefix + ".bn")
+    return {"kernel": res["kernel"], "BatchStatNorm_0": res_bn}
+
+
+def convert_casmvsnet_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
+    """Published CasMVSNet checkpoint -> our CascadeMVSNet param tree.
+
+    FeatureNet naming (reference ``mvs_models.py:319-369``): conv0.{0,1},
+    conv1.{0,1,2}, conv2.{0,1,2} wrapper convs; out1/inner1/inner2/out2/out3
+    bare convs.  CostRegNet (``:412-443``): conv0..conv11 + prob.
+    """
+    feat = {}
+    # sequential wrapper blocks -> our ConvBNReLU_i ordering inside FeatureNet
+    seq = [("conv0.0", 2), ("conv0.1", 2),
+           ("conv1.0", 2), ("conv1.1", 2), ("conv1.2", 2),
+           ("conv2.0", 2), ("conv2.1", 2), ("conv2.2", 2)]
+    for i, (name, sp) in enumerate(seq):
+        feat[f"ConvBNReLU_{i}"] = _conv_block(sd, "feature." + name, sp)
+    bare = {"out1": "Conv_0", "inner1": "Conv_1", "out2": "Conv_2",
+            "inner2": "Conv_3", "out3": "Conv_4"}
+    for tname, jname in bare.items():
+        feat[jname] = _t2j_conv(sd, "feature." + tname, 2)
+
+    tree = {"feature": feat}
+    for s in range(3):
+        cr = {}
+        convs = ["conv0", "conv1", "conv2", "conv3", "conv4", "conv5",
+                 "conv6"]
+        for i, cname in enumerate(convs):
+            cr[f"ConvBNReLU_{i}"] = _conv_block(
+                sd, f"cost_regularization.{s}.{cname}", 3)
+        for i, cname in enumerate(["conv7", "conv9", "conv11"]):
+            cr[f"ConvTransposeBNReLU_{i}"] = _deconv_block(
+                sd, f"cost_regularization.{s}.{cname}", 3)
+        cr["Conv_0"] = _t2j_conv(sd, f"cost_regularization.{s}.prob", 3)
+        tree[f"cost_reg_{s}"] = cr
+    return tree
+
+
+def convert_reference_checkpoint(path: str):
+    """``ucnerf.tar`` -> {"nerf": ..., "mvs": ...} param trees."""
+    import torch
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    nerf_sd = {k: v.detach().cpu().numpy()
+               for k, v in obj["network_fn_state_dict"].items()}
+    mvs_sd = {k: v.detach().cpu().numpy()
+              for k, v in obj["network_mvs_state_dict"].items()}
+    return {"nerf": convert_nerf_state_dict(nerf_sd),
+            "mvs": convert_casmvsnet_state_dict(mvs_sd)}
+
+
+# ----------------------------------------------------- jax -> torch mapping
+def _j2t_linear(tree, prefix, out):
+    out[prefix + ".weight"] = np.asarray(tree["Dense_0"]["kernel"]).T
+    out[prefix + ".bias"] = np.asarray(tree["Dense_0"]["bias"])
+
+
+def _j2t_conv(tree, prefix, spatial, out):
+    k = np.asarray(tree["kernel"])
+    perm = (spatial + 1, spatial) + tuple(range(spatial))
+    out[prefix + ".weight"] = np.transpose(k, perm)
+    if "bias" in tree:
+        out[prefix + ".bias"] = np.asarray(tree["bias"])
+
+
+def _j2t_convT(tree, prefix, spatial, out):
+    k = np.asarray(tree["kernel"])          # (*k, Cout, Cin)
+    perm = (spatial + 1, spatial) + tuple(range(spatial))
+    out[prefix + ".weight"] = np.transpose(k, perm)
+
+
+def _j2t_bn(tree, prefix, out):
+    out[prefix + ".weight"] = np.asarray(tree["scale"])
+    out[prefix + ".bias"] = np.asarray(tree["bias"])
+    c = out[prefix + ".weight"].shape[0]
+    out[prefix + ".running_mean"] = np.zeros(c, np.float32)
+    out[prefix + ".running_var"] = np.ones(c, np.float32)
+    out[prefix + ".num_batches_tracked"] = np.zeros((), np.int64)
+
+
+def export_nerf_state_dict(nerf_params) -> Dict[str, np.ndarray]:
+    """Our nerf tree -> reference ``network_fn_state_dict`` naming
+    (the reference's unused layers are not emitted)."""
+    p = nerf_params["nerf"]
+    out = {}
+    for n in ["pts_bias_depth_fine", "pts_bias_confidence", "feature_linear",
+              "confi_rgb_linear", "alpha_linear_1", "rgb_linear",
+              "alpha_linear"]:
+        _j2t_linear(p[n], "nerf." + n, out)
+    for i in range(6):
+        _j2t_linear(p[f"pts_linears_{i}"], f"nerf.pts_linears.{i}", out)
+    _j2t_linear(p["views_linears_0"], "nerf.views_linears.0", out)
+    _j2t_linear(p["view_confi_linears_0"], "nerf.view_confi_linears.0", out)
+    return out
+
+
+def export_casmvsnet_state_dict(mvs_params) -> Dict[str, np.ndarray]:
+    feat = mvs_params["feature"]
+    out = {}
+    seq = ["conv0.0", "conv0.1", "conv1.0", "conv1.1", "conv1.2",
+           "conv2.0", "conv2.1", "conv2.2"]
+    for i, name in enumerate(seq):
+        _j2t_conv(feat[f"ConvBNReLU_{i}"]["Conv_0"],
+                  f"feature.{name}.conv", 2, out)
+        _j2t_bn(feat[f"ConvBNReLU_{i}"]["BatchStatNorm_0"],
+                f"feature.{name}.bn", out)
+    for tname, jname in [("out1", "Conv_0"), ("inner1", "Conv_1"),
+                         ("out2", "Conv_2"), ("inner2", "Conv_3"),
+                         ("out3", "Conv_4")]:
+        _j2t_conv(feat[jname], f"feature.{tname}", 2, out)
+    for s in range(3):
+        cr = mvs_params[f"cost_reg_{s}"]
+        for i, cname in enumerate(["conv0", "conv1", "conv2", "conv3",
+                                   "conv4", "conv5", "conv6"]):
+            _j2t_conv(cr[f"ConvBNReLU_{i}"]["Conv_0"],
+                      f"cost_regularization.{s}.{cname}.conv", 3, out)
+            _j2t_bn(cr[f"ConvBNReLU_{i}"]["BatchStatNorm_0"],
+                    f"cost_regularization.{s}.{cname}.bn", out)
+        for i, cname in enumerate(["conv7", "conv9", "conv11"]):
+            _j2t_convT(cr[f"ConvTransposeBNReLU_{i}"],
+                       f"cost_regularization.{s}.{cname}.conv", 3, out)
+            _j2t_bn(cr[f"ConvTransposeBNReLU_{i}"]["BatchStatNorm_0"],
+                    f"cost_regularization.{s}.{cname}.bn", out)
+        _j2t_conv(cr["Conv_0"], f"cost_regularization.{s}.prob", 3, out)
+    return out
