@@ -1,0 +1,111 @@
+"""Novel-view video rendering along a camera trajectory.
+
+    python render_path.py --preset eval_scared --datadir <path> \
+        --ckpt <ckpt> --traj spiral --n_frames 60 --out video.mp4
+
+Exercises the reference's latent render-path capability (SURVEY.md §2 #23;
+configs item 3 in BASELINE.json): pick a validation sample for the source
+views, sweep the target camera along a generated trajectory, render each
+frame with the full MVS + NeRF pipeline, and write an mp4/npz.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/ucnerf_jax_cache"))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ucnerf_tpu.config import parse_config
+from ucnerf_tpu.data import build_dataset
+from ucnerf_tpu.data.base import build_affine_mats
+from ucnerf_tpu.models.factory import create_models, init_params
+from ucnerf_tpu.train.loop import make_eval_render, to_device_batch
+from ucnerf_tpu.utils import checkpoint_io
+from ucnerf_tpu.utils import pose_traj
+
+
+def make_trajectory(name, c2ws, bounds, n_frames):
+    if name == "spiral":
+        b = bounds if bounds is not None else np.array([0.5, 5.0])
+        return pose_traj.render_path_spiral(c2ws, b, n_views=n_frames)
+    if name == "euler":
+        return pose_traj.gen_render_path_euler(c2ws, n_views=n_frames)
+    if name == "interp":
+        key_idx = np.linspace(0, len(c2ws) - 1, min(5, len(c2ws))).astype(int)
+        return pose_traj.interp_poses_bspline(c2ws, key_idx,
+                                              n_views=n_frames)
+    if name == "spheric":
+        radius = float(np.linalg.norm(c2ws[:, :3, 3], axis=1).mean()) + 1.0
+        return pose_traj.create_spheric_poses(radius, n_poses=n_frames)
+    raise ValueError(name)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(add_help=False)
+    parser.add_argument("--traj", default="interp",
+                        choices=["spiral", "euler", "interp", "spheric"])
+    parser.add_argument("--n_frames", type=int, default=30)
+    parser.add_argument("--out", default="render_path.mp4")
+    ns, rest = parser.parse_known_args(argv)
+    cfg = parse_config(rest)
+
+    ds = build_dataset(cfg, "val")
+    H, W = ds.img_wh[1], ds.img_wh[0]
+    nerf, mvs = create_models(cfg)
+    params = init_params(cfg, jax.random.PRNGKey(cfg.seed), (H, W))
+    if cfg.ckpt:
+        if cfg.ckpt.endswith((".tar", ".ckpt", ".pth")):
+            params = checkpoint_io.convert_reference_checkpoint(cfg.ckpt)
+        else:
+            import optax
+            from ucnerf_tpu.train.loop import TrainState, make_optimizer
+            tx = make_optimizer(cfg, steps_per_epoch=1)
+            target = TrainState(params, tx.init(params),
+                                jnp.zeros((), jnp.int32))
+            params = checkpoint_io.load_checkpoint(cfg.ckpt, target).params
+
+    sample = ds[0]
+    scan = ds.metas[0][0]
+    sc = ds.scene[scan]
+    train_c2ws = sc["c2ws"][sc["train_index"]]
+    traj = make_trajectory(ns.traj, train_c2ws, sc.get("bounds"),
+                           ns.n_frames)
+
+    render_view = make_eval_render(cfg, nerf, mvs, (H, W))
+    frames, depths = [], []
+    for i, c2w in enumerate(traj):
+        c2w = c2w.astype(np.float32)
+        w2c = np.linalg.inv(c2w).astype(np.float32)
+        s = dict(sample)
+        s["c2ws"] = sample["c2ws"].copy()
+        s["w2cs"] = sample["w2cs"].copy()
+        s["affine_mat"] = sample["affine_mat"].copy()
+        s["affine_mat_inv"] = sample["affine_mat_inv"].copy()
+        s["c2ws"][0] = c2w
+        s["w2cs"][0] = w2c
+        aff, aff_inv = build_affine_mats(sc["intrinsic"], w2c)
+        s["affine_mat"][0] = aff
+        s["affine_mat_inv"][0] = aff_inv
+        rgb, depth, _ = render_view(params, to_device_batch(s))
+        frames.append(np.asarray(rgb))
+        depths.append(np.asarray(depth))
+        print(f"frame {i + 1}/{len(traj)}")
+
+    frames = np.stack(frames)
+    if ns.out.endswith(".npz"):
+        np.savez(ns.out, rgb=frames, depth=np.stack(depths))
+    else:
+        import imageio
+        imageio.mimwrite(ns.out, (frames * 255).astype(np.uint8), fps=10)
+    print(f"wrote {ns.out} ({len(frames)} frames, {W}x{H})")
+
+
+if __name__ == "__main__":
+    main()

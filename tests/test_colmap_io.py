@@ -1,0 +1,106 @@
+"""COLMAP binary I/O round trip + Python-vs-native sparse splat parity +
+the LLFF pose pipeline."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ucnerf_tpu.data import colmap
+from ucnerf_tpu.data.base import load_colmap_sparse_depth
+from ucnerf_tpu.data.llff import (gen_poses, load_poses_bounds,
+                                  prepare_scene_poses)
+
+
+def _make_model(rng, n_images=4, n_points=200):
+    cams = {1: colmap.Camera(1, "PINHOLE", 64, 48,
+                             np.array([60.0, 60.0, 32.0, 24.0]))}
+    points = {}
+    for pid in range(1, n_points + 1):
+        xyz = rng.uniform([-1, -1, 2.0], [1, 1, 5.0])
+        points[pid] = colmap.Point3D(pid, xyz, np.array([128, 128, 128]),
+                                     float(rng.uniform(0.2, 2.0)),
+                                     np.array([], np.int32),
+                                     np.array([], np.int32))
+    images = {}
+    for i in range(1, n_images + 1):
+        angle = 0.05 * i
+        R = np.array([[np.cos(angle), 0, np.sin(angle)],
+                      [0, 1, 0],
+                      [-np.sin(angle), 0, np.cos(angle)]])
+        t = np.array([0.1 * i, 0.0, 0.0])
+        qvec = colmap.rotmat2qvec(R)
+        xys, pids = [], []
+        K = np.array([[60.0, 0, 32], [0, 60.0, 24], [0, 0, 1]])
+        for pid, pt in points.items():
+            pc = R @ pt.xyz + t
+            if pc[2] <= 0.1:
+                continue
+            uv = K @ (pc / pc[2])
+            if 0 <= uv[0] < 64 and 0 <= uv[1] < 48:
+                xys.append(uv[:2])
+                pids.append(pid if rng.uniform() > 0.3 else -1)
+        images[i] = colmap.Image(i, qvec, t, 1, f"img_{i:03d}.png",
+                                 np.array(xys), np.array(pids, np.int64))
+    return cams, images, points
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    rng = np.random.default_rng(5)
+    cams, images, points = _make_model(rng)
+    d = tmp_path_factory.mktemp("scene")
+    sparse = d / "sparse" / "0"
+    os.makedirs(sparse)
+    colmap.write_cameras_binary(cams, sparse / "cameras.bin")
+    colmap.write_images_binary(images, sparse / "images.bin")
+    colmap.write_points3d_binary(points, sparse / "points3D.bin")
+    return str(d)
+
+
+def test_colmap_roundtrip(model_dir):
+    cams, images, points = colmap.read_model(
+        os.path.join(model_dir, "sparse", "0"))
+    assert cams[1].model == "PINHOLE"
+    assert len(images) == 4
+    im = images[1]
+    assert im.name == "img_001.png"
+    assert im.xys.shape[1] == 2
+    assert len(points) == 200
+    # quaternion -> rotmat consistency
+    R = colmap.qvec2rotmat(im.qvec)
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-8)
+
+
+def test_gen_poses_and_pipeline(model_dir):
+    arr = gen_poses(model_dir)
+    assert arr.shape == (4, 17)
+    poses, bounds = load_poses_bounds(
+        os.path.join(model_dir, "poses_bounds.npy"))
+    assert (bounds[:, 0] > 0).all() and (bounds[:, 1] > bounds[:, 0]).all()
+    info = prepare_scene_poses(os.path.join(model_dir, "poses_bounds.npy"),
+                               (64, 48))
+    assert info["c2ws"].shape == (4, 4, 4)
+    np.testing.assert_allclose(info["w2cs"][0] @ info["c2ws"][0], np.eye(4),
+                               atol=1e-4)
+    assert info["near_far"][0] < info["near_far"][1]
+
+
+def test_native_splat_matches_python(model_dir):
+    from ucnerf_tpu.data import native
+    if not native.available():
+        pytest.skip("libcolmap_fast.so not built")
+    _, bds = load_poses_bounds(os.path.join(model_dir, "poses_bounds.npy"))
+    py = load_colmap_sparse_depth(model_dir, (64, 48), factor=1.0,
+                                  bds_raw=bds)
+    nat = native.load_colmap_sparse_depth_native(model_dir, (64, 48),
+                                                 factor=1.0, bds_raw=bds)
+    assert len(py) == len(nat)
+    for a, b in zip(py, nat):
+        assert a["name"] == b["name"]
+        np.testing.assert_allclose(a["depth_img"], b["depth_img"],
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(a["weight_img"], b["weight_img"],
+                                   rtol=1e-5, atol=1e-7)
+        assert len(a["coords"]) == len(b["coords"])
+        np.testing.assert_array_equal(a["coords"], b["coords"])

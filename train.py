@@ -83,6 +83,9 @@ def run_validation(cfg, nerf, mvs, params, step_idx: int):
 
 def main(argv=None):
     cfg = parse_config(argv)
+    if cfg.debug_nans:
+        from ucnerf_tpu.utils.profiling import enable_debug_nans
+        enable_debug_nans()
     key = jax.random.PRNGKey(cfg.seed)
 
     train_ds = build_dataset(cfg, "train")
@@ -108,22 +111,27 @@ def main(argv=None):
     step = make_train_step(cfg, nerf, mvs, tx)
 
     ckpt_dir = os.path.join(cfg.basedir, cfg.expname, "ckpts")
+    from ucnerf_tpu.utils.profiling import RateMeter, trace
+    meter = RateMeter()
     global_step = 0
-    t_start = time.time()
     for epoch in range(cfg.num_epochs):
         order = np.random.permutation(len(train_ds))
         for i in order:
             batch = to_device_batch(train_ds[int(i)])
             key, sub = jax.random.split(key)
-            state, metrics = step(state, batch, sub)
+            if cfg.profile_dir and global_step == 10:
+                with trace(cfg.profile_dir):
+                    state, metrics = step(state, batch, sub)
+                    jax.block_until_ready(metrics)
+            else:
+                state, metrics = step(state, batch, sub)
+            meter.update(cfg.n_train_rays)
             global_step += 1
             if global_step % 50 == 0:
                 m = jax.tree.map(float, metrics)
-                rate = (global_step * cfg.n_train_rays
-                        / max(time.time() - t_start, 1e-9))
                 print(f"step {global_step} epoch {epoch} "
                       f"loss {m['loss']:.4f} psnr {m['psnr']:.2f} "
-                      f"rays/s {rate:,.0f}")
+                      f"rays/s {meter.rate:,.0f}")
             if global_step % 5000 == 4999:
                 checkpoint_io.save_checkpoint(ckpt_dir, state, global_step)
         if (epoch + 1) % 2 == 0:

@@ -99,6 +99,11 @@ class Config:
     # precision
     mvs_dtype: str = "float32"        # compute dtype for the MVS cascade
 
+    # observability (SURVEY.md §5.1-5.2; no reference equivalent)
+    profile_dir: Optional[str] = None  # write a jax.profiler trace here
+    debug_nans: bool = False           # jax debug_nans (reference's always-on
+                                       # anomaly mode, made opt-in)
+
     # ------------------------------------------------------------------ derived
     @property
     def feat_dim(self) -> int:

@@ -65,8 +65,13 @@ def load_colmap_sparse_depth(scene_dir, img_wh, factor, bds_raw,
     sc = 1.0 / (bds_raw.min() * bd_factor)
 
     w_img, h_img = img_wh
+    # name-sorted iteration; bds_raw rows are name-sorted (LLFF save order).
+    # (The reference indexes bounds by raw image id, data/scared.py:323 —
+    # identical when COLMAP registered images in name order, which SCARED
+    # does; name order is the consistent choice.)
     entries = []
-    for img_id in sorted(images.keys()):
+    order = sorted(images.keys(), key=lambda i: images[i].name)
+    for k, img_id in enumerate(order):
         im = images[img_id]
         R = colmap.qvec2rotmat(im.qvec)
         t = im.tvec
@@ -75,7 +80,6 @@ def load_colmap_sparse_depth(scene_dir, img_wh, factor, bds_raw,
         depth_img = np.zeros((h_img, w_img), np.float32)
         weight_img = np.zeros((h_img, w_img), np.float32)
         coords, depths, weights = [], [], []
-        k = img_id - min(images.keys())
         lo, hi = bds_raw[k] * sc if bds_raw.ndim == 2 else bds_raw * sc
         for xy, pid in zip(im.xys, im.point3D_ids):
             if pid == -1 or pid not in points:
