@@ -30,8 +30,8 @@ from ucnerf_tpu.train.loop import (TrainState, make_optimizer,
                                    to_device_batch)
 
 H, W = 256, 320
-WARMUP = 3
-ITERS = 20
+WARMUP = 2
+ITERS = 10
 
 
 def main():
@@ -50,29 +50,35 @@ def main():
     step = make_train_step(cfg, nerf, mvs, tx)
     batch = to_device_batch(ds[0])
 
+    # NOTE: timing on the axon backend requires VALUE-FETCH sync each call.
+    # jax.block_until_ready on small outputs (the metrics dict) returns
+    # without forcing the execution (measured 2.7 ms/"step" for a step that
+    # takes 520 ms when synced by float(loss) or by blocking the full
+    # parameter tree).  We sync by fetching a scalar derived from the
+    # computation, which is demonstrably reliable.
     key = jax.random.PRNGKey(1)
     for _ in range(WARMUP):
         key, sub = jax.random.split(key)
         state, metrics = step(state, batch, sub)
-    jax.block_until_ready(metrics)
+        float(metrics["loss"])
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         key, sub = jax.random.split(key)
         state, metrics = step(state, batch, sub)
-    jax.block_until_ready(metrics)
+        float(metrics["loss"])
     dt = (time.perf_counter() - t0) / ITERS
     train_rays_per_sec = cfg.n_train_rays / dt
 
     # eval render path
     render_view = make_eval_render(cfg, nerf, mvs, (H, W))
     rgb, depth, conf = render_view(state.params, batch)   # compile
-    jax.block_until_ready(rgb)
+    float(jnp.sum(rgb))
     t0 = time.perf_counter()
     n_frames = 3
     for _ in range(n_frames):
         rgb, depth, conf = render_view(state.params, batch)
-    jax.block_until_ready(rgb)
+        float(jnp.sum(rgb) + jnp.sum(depth))
     dt_render = (time.perf_counter() - t0) / n_frames
     render_rays_per_sec = H * W / dt_render
 

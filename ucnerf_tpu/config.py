@@ -98,6 +98,8 @@ class Config:
 
     # precision
     mvs_dtype: str = "float32"        # compute dtype for the MVS cascade
+    nerf_dtype: str = "bfloat16"      # NeRF MLP matmul dtype (params f32);
+                                      # set float32 for bit-level parity work
 
     # observability (SURVEY.md §5.1-5.2; no reference equivalent)
     profile_dir: Optional[str] = None  # write a jax.profiler trace here

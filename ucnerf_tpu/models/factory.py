@@ -21,10 +21,14 @@ from ucnerf_tpu.models.nerf import UCNeRFMLP
 
 
 def create_models(cfg: Config) -> Tuple[UCNeRFMLP, CascadeMVSNet]:
+    import jax.numpy as _jnp
+    nerf_dtype = None if cfg.nerf_dtype == "float32" else _jnp.dtype(
+        cfg.nerf_dtype)
     nerf = UCNeRFMLP(depth=cfg.netdepth, width=cfg.netwidth,
                      multires=cfg.multires,
                      multires_views=cfg.multires_views,
-                     view_num=cfg.view_num, skips=tuple(cfg.skips))
+                     view_num=cfg.view_num, skips=tuple(cfg.skips),
+                     dtype=nerf_dtype)
     mvs = CascadeMVSNet(ndepths=tuple(cfg.ndepths),
                         depth_intervals_ratio=tuple(cfg.depth_intervals_ratio))
     return nerf, mvs

@@ -164,6 +164,7 @@ class TorchDense(nn.Module):
     """
     features: int
     kaiming: bool = True
+    dtype: object = None   # compute dtype (bf16 on TPU); params stay f32
 
     @nn.compact
     def __call__(self, x):
@@ -174,4 +175,5 @@ class TorchDense(nn.Module):
         else:
             kinit = torch_linear_default_init
             binit = torch_linear_default_bias_init(fan_in)
-        return nn.Dense(self.features, kernel_init=kinit, bias_init=binit)(x)
+        return nn.Dense(self.features, kernel_init=kinit, bias_init=binit,
+                        dtype=self.dtype)(x)

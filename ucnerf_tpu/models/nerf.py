@@ -44,6 +44,7 @@ class BaseAdaptRenderer(nn.Module):
     in_ch_views: int = 27
     view_num: int = 7         # V (source views = V - 1)
     skips: tuple = (4,)
+    dtype: object = None      # matmul compute dtype (bf16 on TPU)
 
     @nn.compact
     def __call__(self, pts, feats, views):
@@ -54,33 +55,35 @@ class BaseAdaptRenderer(nn.Module):
         img_feats = feats[..., 24 + 4 * v1:24 + 12 * v1]
         uncertainty = 1.0 - feats[..., -1:]
 
-        depth_bias = TorchDense(self.width, name="pts_bias_depth_fine")(
+        depth_bias = TorchDense(self.width, dtype=self.dtype, name="pts_bias_depth_fine")(
             jnp.concatenate([mvs, colors], axis=-1))
-        feats_bias = TorchDense(self.width, kaiming=False,
+        feats_bias = TorchDense(self.width, kaiming=False, dtype=self.dtype,
                                 name="pts_bias_confidence")(img_feats)
 
         h = pts
         for i in range(self.depth):
-            h = TorchDense(self.width, name=f"pts_linears_{i}")(h) * depth_bias
+            h = TorchDense(self.width, dtype=self.dtype, name=f"pts_linears_{i}")(h) * depth_bias
             h = jax.nn.relu(h)
             if i in self.skips:
                 h = jnp.concatenate([pts, h], axis=-1)
 
-        base_rgb = TorchDense(3, name="confi_rgb_linear")(h)
-        base_alpha = TorchDense(1, kaiming=False, name="alpha_linear_1")(h)
+        base_rgb = TorchDense(3, dtype=self.dtype, name="confi_rgb_linear")(h)
+        base_alpha = TorchDense(1, kaiming=False, dtype=self.dtype, name="alpha_linear_1")(h)
 
-        feature = TorchDense(self.width, name="feature_linear")(h * feats_bias)
+        feature = TorchDense(self.width, dtype=self.dtype, name="feature_linear")(h * feats_bias)
         h1 = jnp.concatenate([feature, views], axis=-1)
-        adapt_rgb = TorchDense(3, name="rgb_linear")(
-            jax.nn.relu(TorchDense(self.width // 2, name="views_linears_0")(h1)))
-        adapt_alpha = TorchDense(1, name="alpha_linear")(
-            jax.nn.relu(TorchDense(self.width // 2,
+        adapt_rgb = TorchDense(3, dtype=self.dtype, name="rgb_linear")(
+            jax.nn.relu(TorchDense(self.width // 2, dtype=self.dtype, name="views_linears_0")(h1)))
+        adapt_alpha = TorchDense(1, dtype=self.dtype, name="alpha_linear")(
+            jax.nn.relu(TorchDense(self.width // 2, dtype=self.dtype,
                                    name="view_confi_linears_0")(h1)))
 
-        rgb = jax.nn.sigmoid(base_rgb * (1.0 - uncertainty)
-                             + adapt_rgb * uncertainty)
-        alpha = jax.nn.relu(adapt_alpha * (1.0 - uncertainty)
-                            + base_alpha * uncertainty)
+        rgb = jax.nn.sigmoid((base_rgb * (1.0 - uncertainty)
+                              + adapt_rgb * uncertainty)
+                             .astype(jnp.float32))
+        alpha = jax.nn.relu((adapt_alpha * (1.0 - uncertainty)
+                             + base_alpha * uncertainty)
+                            .astype(jnp.float32))
         return jnp.concatenate([rgb, alpha], axis=-1)
 
 
@@ -99,6 +102,7 @@ class UCNeRFMLP(nn.Module):
     multires_views: int = 4
     view_num: int = 7
     skips: tuple = (4,)
+    dtype: object = None
 
     @nn.compact
     def __call__(self, pts, viewdirs, feats):
@@ -111,7 +115,7 @@ class UCNeRFMLP(nn.Module):
             depth=self.depth, width=self.width,
             in_ch_pts=pe_dim(self.multires),
             in_ch_views=pe_dim(self.multires_views),
-            view_num=self.view_num, skips=self.skips,
+            view_num=self.view_num, skips=self.skips, dtype=self.dtype,
             name="nerf")(pe_pts, feats, pe_dirs)
 
     @staticmethod

@@ -108,7 +108,7 @@ def _stage_near_far(stage_planes, ys, xs, near_ref, far_ref):
 
 def _assemble(key_depth, ys, xs, intrinsic, c2w, w2c_ref, intrinsic_ref,
               inv_scale, stage_planes, near_ref, far_ref, n_samples: int,
-              jitter: bool):
+              jitter: bool, analytic_ndc: bool = True):
     ysf = ys.astype(jnp.float32)
     xsf = xs.astype(jnp.float32)
     rays_o, rays_d = ray_dirs_from_pixels(xsf, ysf, intrinsic, c2w)
@@ -116,7 +116,27 @@ def _assemble(key_depth, ys, xs, intrinsic, c2w, w2c_ref, intrinsic_ref,
     depth = stage_depth_candidates(nf, n_samples,
                                    key_depth if jitter else None)
     points = rays_o[:, None, :] + depth[..., None] * rays_d[:, None, :]
-    ndc = world_to_ref_ndc(points, w2c_ref, intrinsic_ref, inv_scale, nf)
+    if analytic_ndc:
+        # The NDC reference view IS the view the rays are cast from
+        # (reference train.py:147-149): a point at parameter t on the ray
+        # through pixel (x, y) projects back to exactly (x, y), and its
+        # camera z equals t (ray dirs have z=1 in the camera frame,
+        # utils/utils.py:259-261).  So the reference's per-point projection
+        # (get_ndc_coordinate, utils/utils.py:323-373) collapses to
+        # closed form — no [N, S, 3] matmul, no divisions.
+        S = depth.shape[-1]
+        xy = jnp.broadcast_to(
+            (jnp.stack([xsf, ysf], axis=-1) / inv_scale)[:, None, :],
+            (depth.shape[0], S, 2))
+        ndc = {}
+        for k in (1, 2, 3):
+            zk = ((depth - nf[f"near_{k}"]) /
+                  (nf[f"far_{k}"] - nf[f"near_{k}"]))[..., None]
+            ndc[f"stage{k}"] = jnp.concatenate([xy, zk], axis=-1)
+        z = ((depth - near_ref) / (far_ref - near_ref))[..., None]
+        ndc["ndc"] = jnp.concatenate([xy, z], axis=-1)
+    else:
+        ndc = world_to_ref_ndc(points, w2c_ref, intrinsic_ref, inv_scale, nf)
     return dict(rays_o=rays_o, rays_d=rays_d, pixel_coords=jnp.stack(
         [ys, xs], axis=-1), depth_candidates=depth, points_world=points,
         ndc=ndc, stage_near_far=nf)

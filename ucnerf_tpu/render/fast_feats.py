@@ -1,0 +1,180 @@
+"""TPU-fast point featurization.
+
+Key structural fact: the NDC used for cost-volume lookups is computed in the
+*target* view's frame (``w2c_ref`` = view 0 = the view whose rays we march,
+reference ``train.py:147-149`` / ``utils/utils.py:437-438``).  Projecting a
+point that lies on the ray through pixel (x, y) back into that same view
+lands exactly on (x, y): the xy of all N_samples of a ray are identical in
+exact arithmetic — only z varies.  The reference still evaluates a full
+trilinear ``grid_sample`` per sample (``utils/utils.py:859-890``), i.e.
+8 tiny gathers per point; on TPU that gather storm dominated the whole
+render (measured 438 ms of a 550 ms tile).
+
+This module exploits the structure:
+- per RAY: 4 bilinear-corner gathers of whole depth columns ``[D*C]``
+  (wide contiguous rows -> efficient TPU gathers),
+- per SAMPLE: on-chip lerp along D (two ``take_along_axis`` + fma),
+- photometric confidence: one bilinear gather per ray (constant along it),
+- source-view reprojection: image+features pre-packed to one ``[H, W, 11]``
+  map per view so each point costs one 4-corner gather instead of two.
+
+Numerically equal to the reference path up to fp round-off in the projection
+(~1e-5); verified against the generic path in tests.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from ucnerf_tpu.ops.ndc import project_to_pixel
+
+
+def _corner_ids_weights(x01, y01, h: int, w: int):
+    """align_corners=False border-clamped bilinear corners.
+
+    x01/y01 [N] in [0, 1] -> (idx [N, 4] flat h*w ids, wgt [N, 4])."""
+    ix = jnp.clip(x01 * w - 0.5, 0.0, w - 1.0)
+    iy = jnp.clip(y01 * h - 0.5, 0.0, h - 1.0)
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    wx = ix - x0
+    wy = iy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, w - 1)
+    y1i = jnp.minimum(y0i + 1, h - 1)
+    idx = jnp.stack([y0i * w + x0i, y0i * w + x1i,
+                     y1i * w + x0i, y1i * w + x1i], axis=-1)
+    wgt = jnp.stack([(1 - wx) * (1 - wy), wx * (1 - wy),
+                     (1 - wx) * wy, wx * wy], axis=-1)
+    return idx, wgt
+
+
+def sample_volume_per_ray(vol_cols, z01, idx, wgt):
+    """vol_cols [h*w, D, C]; z01 [N, S]; idx/wgt [N, 4] -> [N, S, C].
+
+    4 wide row-gathers per ray reduce the xy lookup; the per-sample z-lerp
+    is then expressed as a one-hot-weighted einsum so it runs on the MXU
+    instead of as N*S tiny gathers (take_along_axis was the hidden gather
+    storm: 17.7M 32-byte gathers per frame)."""
+    D = vol_cols.shape[1]
+    zc = jnp.clip(z01 * D - 0.5, 0.0, D - 1.0)
+    z0 = jnp.floor(zc)
+    wz = zc - z0                                   # [N, S]
+    z0i = z0.astype(jnp.int32)
+    z1i = jnp.minimum(z0i + 1, D - 1)
+    # z-lerp weights as a dense [N, S, D] matrix (2 nonzeros per row)
+    wmat = (jax.nn.one_hot(z0i, D, dtype=vol_cols.dtype) * (1 - wz[..., None])
+            + jax.nn.one_hot(z1i, D, dtype=vol_cols.dtype) * wz[..., None])
+
+    # blend the 4 xy corners first (cheap per-ray gathers), then one matmul
+    cols = 0.0
+    for c in range(4):
+        cols = cols + wgt[:, c, None, None] * jnp.take(vol_cols, idx[:, c],
+                                                       axis=0)   # [N, D, C]
+    return jnp.einsum("nsd,ndc->nsc", wmat, cols)
+
+
+def index_point_feature_fast(stage_volumes: Dict, confidence, rays):
+    """Fast equivalent of ``renderer.index_point_feature``.
+
+    stage_volumes: {k: [D_k, h_k, w_k, C]} cost features.
+    confidence: [H, W].
+    rays: dict with 'pixel_coords' [N, 2] (y, x) ints in the target view and
+      'ndc' stage z-coordinates.
+    Returns (ray_feats [N, S, 3C], conf [N, S]).
+    """
+    ys = rays["pixel_coords"][:, 0].astype(jnp.float32)
+    xs = rays["pixel_coords"][:, 1].astype(jnp.float32)
+    H, W = confidence.shape
+    x01 = xs / (W - 1)
+    y01 = ys / (H - 1)
+
+    feats = []
+    for k in (1, 2, 3):
+        vol = stage_volumes[k]
+        D, h, w, C = vol.shape
+        idx, wgt = _corner_ids_weights(x01, y01, h, w)
+        vol_cols = jnp.transpose(vol, (1, 2, 0, 3)).reshape(h * w, D, C)
+        z01 = rays["ndc"][f"stage{k}"][..., 2]
+        feats.append(sample_volume_per_ray(vol_cols, z01, idx, wgt))
+    ray_feats = jnp.concatenate(feats, axis=-1)
+
+    idx, wgt = _corner_ids_weights(x01, y01, H, W)
+    conf_ray = jnp.sum(jnp.take(confidence.reshape(-1), idx) * wgt, axis=-1)
+    S = ray_feats.shape[1]
+    conf = jnp.broadcast_to(conf_ray[:, None], (conf_ray.shape[0], S))
+    return ray_feats, conf
+
+
+def pack_quads(views):
+    """[V, H, W, C] -> [V, H*W, 4*C] where row (y*W+x) holds the 2x2
+    neighborhood [(y,x), (y,x+1), (y+1,x), (y+1,x+1)] (border-clamped).
+
+    One wide gather then replaces the 4 corner gathers of bilinear sampling —
+    TPU gathers are issue-bound, not bandwidth-bound, so 4x fewer gathers of
+    4x-wider rows is a direct win (4x memory, built once per frame).
+    """
+    v00 = views
+    v01 = jnp.concatenate([views[:, :, 1:], views[:, :, -1:]], axis=2)
+    v10 = jnp.concatenate([views[:, 1:], views[:, -1:]], axis=1)
+    v11 = jnp.concatenate([v01[:, 1:], v01[:, -1:]], axis=1)
+    quads = jnp.concatenate([v00, v01, v10, v11], axis=-1)
+    V, H, W, C4 = quads.shape
+    return quads.reshape(V, H * W, C4)
+
+
+def build_color_volume_fast(points, src_w2cs, src_intrinsics, quad_views,
+                            img_hw):
+    """Fast equivalent of ``renderer.build_color_volume``.
+
+    quad_views: [V-1, H*W, 4*(3+C_f)] from ``pack_quads`` of the images
+    (unnormalized) concatenated with stage-3 FPN features.
+    Returns [N, S, (V-1)*4 + (V-1)*C_f] with the reference's colors-block /
+    features-block channel layout.
+    """
+    H, W = img_hw
+    V1 = quad_views.shape[0]
+    c = quad_views.shape[-1] // 4
+    cf = c - 3
+    inv_scale = jnp.asarray([W - 1, H - 1], jnp.float32)
+    N, S = points.shape[:2]
+
+    def per_view(w2c, K, quads):
+        pix = project_to_pixel(points, w2c, K, inv_scale)
+        g = pix[..., :2] * 2.0 - 1.0
+        # align_corners=True unnormalize + border clamp
+        ix = jnp.clip((g[..., 0] + 1.0) * 0.5 * (W - 1), 0.0, W - 1.0)
+        iy = jnp.clip((g[..., 1] + 1.0) * 0.5 * (H - 1), 0.0, H - 1.0)
+        x0 = jnp.floor(ix)
+        y0 = jnp.floor(iy)
+        wx = (ix - x0)[..., None]
+        wy = (iy - y0)[..., None]
+        idx = y0.astype(jnp.int32) * W + x0.astype(jnp.int32)
+        q = jnp.take(quads, idx, axis=0)                   # [N, S, 4c]
+        top = q[..., :c] * (1 - wx) + q[..., c:2 * c] * wx
+        bot = q[..., 2 * c:3 * c] * (1 - wx) + q[..., 3 * c:] * wx
+        data = top * (1 - wy) + bot * wy                   # [N, S, c]
+        mask = ((g[..., 0] > -1.0) & (g[..., 0] < 1.0)
+                & (g[..., 1] > -1.0) & (g[..., 1] < 1.0))
+        col4 = jnp.concatenate(
+            [data[..., :3], mask[..., None].astype(data.dtype)], axis=-1)
+        return col4, data[..., 3:]
+
+    colors, feats = jax.vmap(per_view)(src_w2cs, src_intrinsics, quad_views)
+    colors = jnp.moveaxis(colors, 0, -2).reshape(N, S, -1)
+    feats = jnp.moveaxis(feats, 0, -2).reshape(N, S, -1)
+    return jnp.concatenate([colors, feats], axis=-1)
+
+
+def gen_pts_feats_fast(rays, stage_volumes, confidence, quad_views,
+                       src_w2cs, src_intrinsics, img_hw):
+    ray_feats, conf = index_point_feature_fast(stage_volumes, confidence,
+                                               rays)
+    color_feats = build_color_volume_fast(rays["points_world"], src_w2cs,
+                                          src_intrinsics, quad_views, img_hw)
+    return jnp.concatenate([ray_feats, color_feats, conf[..., None]],
+                           axis=-1)

@@ -110,19 +110,50 @@ def gen_pts_feats(rays, mvs_out, confidence, imgs_src, src_w2cs,
     return jnp.concatenate([ray_feats, color_feats, conf[..., None]], axis=-1)
 
 
+def make_feat_ctx(mvs_out, confidence, imgs_src, src_w2cs, src_intrinsics):
+    """Precompute the per-frame featurization context (cost-volume column
+    layouts + 2x2-quad-packed source views) once; reuse across ray tiles."""
+    from ucnerf_tpu.render.fast_feats import pack_quads
+    H, W = imgs_src.shape[1:3]
+    return dict(
+        stage_volumes={k: mvs_out[f"stage{k}"]["volume_feature"]
+                       for k in (1, 2, 3)},
+        quad_views=pack_quads(jnp.concatenate(
+            [imgs_src, mvs_out["img_feats"]], axis=-1)),
+        confidence=confidence, src_w2cs=src_w2cs,
+        src_intrinsics=src_intrinsics, img_hw=(H, W))
+
+
 def render_rays(nerf_apply, rays, mvs_out, confidence, imgs_src, src_w2cs,
-                src_intrinsics, w2c_ref, white_bkgd: bool = False):
+                src_intrinsics, w2c_ref, white_bkgd: bool = False,
+                fast: bool = True, feat_ctx=None):
     """Render one static batch of rays -> (rgb [N,3], depth [N]).
 
     Mirrors reference ``rendering`` (``renderer.py:215-255``): note the ref
     view is popped from the pose set before color reprojection
     (renderer.py:241-243) — pass source-view poses only.
+
+    ``fast=True`` uses the per-ray column-gather featurization
+    (``render.fast_feats``; equal up to fp round-off, ~100x fewer TPU
+    gathers); ``fast=False`` keeps the literal reference formulation.
+    Pass ``feat_ctx`` (from ``make_feat_ctx``) to amortize the quad packing
+    across tiles of the same frame.
     """
     cos_angle = jnp.linalg.norm(rays["rays_d"], axis=-1)
     dirs = gen_dir_feature(w2c_ref, rays["rays_d"] / cos_angle[..., None])
 
-    input_feat = gen_pts_feats(rays, mvs_out, confidence, imgs_src, src_w2cs,
-                               src_intrinsics)
+    if fast:
+        from ucnerf_tpu.render.fast_feats import gen_pts_feats_fast
+        ctx = feat_ctx if feat_ctx is not None else make_feat_ctx(
+            mvs_out, confidence, imgs_src, src_w2cs, src_intrinsics)
+        input_feat = gen_pts_feats_fast(rays, ctx["stage_volumes"],
+                                        ctx["confidence"],
+                                        ctx["quad_views"], ctx["src_w2cs"],
+                                        ctx["src_intrinsics"],
+                                        ctx["img_hw"])
+    else:
+        input_feat = gen_pts_feats(rays, mvs_out, confidence, imgs_src,
+                                   src_w2cs, src_intrinsics)
     raw = nerf_apply(rays["ndc"]["ndc"], dirs, input_feat)
     # dists computed for parity; opacity ignores them (renderer.py:25-36)
     _ = depth2dist(rays["depth_candidates"], cos_angle)

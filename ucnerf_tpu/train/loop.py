@@ -177,11 +177,15 @@ def make_eval_render(cfg: Config, nerf, mvs, img_hw: Tuple[int, int]):
         def nerf_apply(pts, dirs, feats):
             return nerf.apply({"params": params["nerf"]}, pts, dirs, feats)
 
+        from ucnerf_tpu.render.renderer import make_feat_ctx
+        feat_ctx = make_feat_ctx(mvs_out, confidence, imgs[1:],
+                                 batch["w2cs"][1:], batch["intrinsics"][1:])
+
         def render_chunk(rays):
             return render_rays(nerf_apply, rays, mvs_out, confidence,
                                imgs[1:], batch["w2cs"][1:],
                                batch["intrinsics"][1:], batch["w2cs"][0],
-                               white_bkgd=cfg.white_bkgd)
+                               white_bkgd=cfg.white_bkgd, feat_ctx=feat_ctx)
 
         rgb, depth = render_image_chunked(build_chunk, render_chunk, H, W,
                                           cfg.chunk)
