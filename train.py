@@ -112,6 +112,9 @@ def main(argv=None):
 
     ckpt_dir = os.path.join(cfg.basedir, cfg.expname, "ckpts")
     from ucnerf_tpu.utils.profiling import RateMeter, trace
+    from ucnerf_tpu.utils.writer import MetricWriter
+    writer = MetricWriter(os.path.join(cfg.basedir, cfg.expname, "tb"),
+                          use_wandb=cfg.log)
     meter = RateMeter()
     global_step = 0
     for epoch in range(cfg.num_epochs):
@@ -129,6 +132,8 @@ def main(argv=None):
             global_step += 1
             if global_step % 50 == 0:
                 m = jax.tree.map(float, metrics)
+                writer.write(global_step,
+                             {f"train/{k}": v for k, v in m.items()})
                 print(f"step {global_step} epoch {epoch} "
                       f"loss {m['loss']:.4f} psnr {m['psnr']:.2f} "
                       f"rays/s {meter.rate:,.0f}")
@@ -139,6 +144,7 @@ def main(argv=None):
 
     checkpoint_io.save_checkpoint(ckpt_dir, state, global_step)
     run_validation(cfg, nerf, mvs, state.params, global_step)
+    writer.close()
 
 
 if __name__ == "__main__":

@@ -78,7 +78,13 @@ class Config:
     ckpt: Optional[str] = None
     eval: bool = False
 
-    # rendering (reference opt.py:80-95)
+    # rendering (reference opt.py:73-95)
+    encode_a: bool = False            # appearance embedding (NeRF-A); the
+                                      # reference creates+optimizes it but the
+                                      # live render path does not consume it
+                                      # (network/models.py:237-239) — same here
+    N_vocab: int = 100
+    N_a: int = 48
     perturb: float = 1.0
     use_viewdirs: bool = True
     raw_noise_std: float = 0.0

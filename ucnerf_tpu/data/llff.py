@@ -154,3 +154,34 @@ def get_nearest_pose_ids(tar_pose, ref_poses, num_select):
     ``data/scared.py:69-106``, method='dist')."""
     dists = np.linalg.norm(tar_pose[:3, 3] - ref_poses[:, :3, 3], axis=-1)
     return np.argsort(dists)[:num_select]
+
+
+def minify(scene_dir, factors=(), resolutions=()):
+    """Write downsampled image pyramids ``images_{N}/`` / ``images_{WxH}/``
+    (the consumed behavior of reference ``pose_utils.minify``,
+    ``data/pose_utils.py:158-198``, reimplemented with PIL instead of
+    shelling out to ImageMagick)."""
+    import glob
+    from PIL import Image as PILImage
+
+    img_dir = os.path.join(scene_dir, "images")
+    paths = sorted(glob.glob(os.path.join(img_dir, "*")))
+    if not paths:
+        return []
+    out_dirs = []
+    with PILImage.open(paths[0]) as im0:
+        w0, h0 = im0.size
+    targets = ([(f"images_{f}", (round(w0 / f), round(h0 / f)))
+                for f in factors]
+               + [(f"images_{w}x{h}", (w, h)) for (w, h) in resolutions])
+    for name, (w, h) in targets:
+        out = os.path.join(scene_dir, name)
+        os.makedirs(out, exist_ok=True)
+        for p in paths:
+            dst = os.path.join(out, os.path.basename(p))
+            if os.path.exists(dst):
+                continue
+            with PILImage.open(p) as im:
+                im.resize((w, h), PILImage.LANCZOS).save(dst)
+        out_dirs.append(out)
+    return out_dirs

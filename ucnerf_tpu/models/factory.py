@@ -50,4 +50,11 @@ def init_params(cfg: Config, key, img_hw: Tuple[int, int]):
     affine = jnp.broadcast_to(jnp.eye(4), (cfg.view_num, 3, 4, 4))
     mvs_params = mvs.init(k2, imgs_src, affine, affine, 0.5, 2.0,
                           pad=cfg.pad)["params"]
-    return {"nerf": nerf_params, "mvs": mvs_params}
+    params = {"nerf": nerf_params, "mvs": mvs_params}
+    if cfg.encode_a:
+        # appearance embedding table (reference network/models.py:237-239:
+        # torch default N(0,1) init; optimized but not consumed by the live
+        # render path — kept with identical semantics)
+        k3 = jax.random.fold_in(key, 2)
+        params["appearance"] = jax.random.normal(k3, (cfg.N_vocab, cfg.N_a))
+    return params

@@ -202,3 +202,77 @@ def build_test_rays(pixel_idx, *, H: int, W: int, intrinsic, c2w, w2c_ref,
     return _assemble(key, ys, xs, intrinsic, c2w, w2c_ref, intrinsic_ref,
                      inv_scale, stage_planes, near_ref, far_ref, n_samples,
                      jitter=key is not None)
+
+
+# ----------------------------------------------------------- latent ray APIs
+# (reference data/ray_utils.py — kept for API completeness; the live UC-NeRF
+# pipeline uses the stage-based builders above.)
+
+def get_ndc_rays(H: int, W: int, focal, near, rays_o, rays_d):
+    """Shift rays to the near plane and project into NeRF's NDC cube
+    (reference ``get_ndc_rays``, ``data/ray_utils.py:56-94``)."""
+    t = -(near + rays_o[..., 2]) / rays_d[..., 2]
+    rays_o = rays_o + t[..., None] * rays_d
+    ox_oz = rays_o[..., 0] / rays_o[..., 2]
+    oy_oz = rays_o[..., 1] / rays_o[..., 2]
+    o0 = -1.0 / (W / (2.0 * focal[0])) * ox_oz
+    o1 = -1.0 / (H / (2.0 * focal[1])) * oy_oz
+    o2 = 1.0 + 2.0 * near / rays_o[..., 2]
+    d0 = -1.0 / (W / (2.0 * focal[0])) * (rays_d[..., 0] / rays_d[..., 2]
+                                          - ox_oz)
+    d1 = -1.0 / (H / (2.0 * focal[1])) * (rays_d[..., 1] / rays_d[..., 2]
+                                          - oy_oz)
+    d2 = 1.0 - o2
+    return (jnp.stack([o0, o1, o2], axis=-1),
+            jnp.stack([d0, d1, d2], axis=-1))
+
+
+def ray_aabb(rays_o, rays_d, bbox):
+    """Slab-method ray/AABB intersection -> (t_min, t_max)
+    (reference ``dda``, ``data/ray_utils.py:143-150``)."""
+    inv_d = 1.0 / (rays_d + 1e-6)
+    t0 = (bbox[0] - rays_o) * inv_d
+    t1 = (bbox[1] - rays_o) * inv_d
+    t = jnp.stack([t0, t1])
+    t_min = jnp.max(jnp.min(t, axis=0), axis=-1, keepdims=True)
+    t_max = jnp.min(jnp.max(t, axis=0), axis=-1, keepdims=True)
+    return t_min, t_max
+
+
+def ray_marcher(rays, n_samples: int = 64, lindisp: bool = False,
+                perturb: float = 0.0, key=None):
+    """Uniform / disparity-space stratified marcher (reference
+    ``ray_marcher``, ``data/ray_utils.py:152-197``).
+
+    rays [N, 8] = [o(3), d(3), near, far] -> (points [N, S, 3], o, d, z_vals).
+    """
+    rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
+    near, far = rays[:, 6:7], rays[:, 7:8]
+    steps = jnp.linspace(0.0, 1.0, n_samples, dtype=rays.dtype)
+    if lindisp:
+        z_vals = 1.0 / (1.0 / near * (1.0 - steps) + 1.0 / far * steps)
+    else:
+        z_vals = near * (1.0 - steps) + far * steps
+    if perturb > 0 and key is not None:
+        mids = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
+        upper = jnp.concatenate([mids, z_vals[:, -1:]], axis=-1)
+        lower = jnp.concatenate([z_vals[:, :1], mids], axis=-1)
+        z_vals = lower + (upper - lower) * perturb * jax.random.uniform(
+            key, z_vals.shape, dtype=z_vals.dtype)
+    points = rays_o[:, None] + rays_d[:, None] * z_vals[..., None]
+    return points, rays_o, rays_d, z_vals
+
+
+def ray_marcher_fine(rays, z_vals, weights, n_importance: int = 64,
+                     key=None):
+    """Importance resampling of additional depths from the coarse weights,
+    merged + sorted (reference ``ray_marcher_fine``,
+    ``data/ray_utils.py:199-224``, minus its dead density-volume lookup)."""
+    from ucnerf_tpu.ops.sampling import sample_pdf
+    rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
+    z_mid = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
+    z_samples = jax.lax.stop_gradient(
+        sample_pdf(z_mid, weights[:, 1:-1], n_importance, key=key))
+    z_vals = jnp.sort(jnp.concatenate([z_samples, z_vals], axis=-1), axis=-1)
+    points = rays_o[:, None] + rays_d[:, None] * z_vals[..., None]
+    return points, rays_o, rays_d, z_vals
