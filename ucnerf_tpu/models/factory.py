@@ -29,8 +29,11 @@ def create_models(cfg: Config) -> Tuple[UCNeRFMLP, CascadeMVSNet]:
                      multires_views=cfg.multires_views,
                      view_num=cfg.view_num, skips=tuple(cfg.skips),
                      dtype=nerf_dtype)
+    mvs_dtype = None if cfg.mvs_dtype == "float32" else _jnp.dtype(
+        cfg.mvs_dtype)
     mvs = CascadeMVSNet(ndepths=tuple(cfg.ndepths),
-                        depth_intervals_ratio=tuple(cfg.depth_intervals_ratio))
+                        depth_intervals_ratio=tuple(cfg.depth_intervals_ratio),
+                        dtype=mvs_dtype)
     return nerf, mvs
 
 

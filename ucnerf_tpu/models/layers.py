@@ -65,6 +65,7 @@ class ConvBNReLU(nn.Module):
     use_bn: bool = True
     use_relu: bool = True
     use_bias: bool = None  # default: bias iff no bn (torch `bias=(not bn)`)
+    dtype: object = None   # conv compute dtype (bf16 on TPU); BN stats f32
 
     @nn.compact
     def __call__(self, x):
@@ -73,10 +74,10 @@ class ConvBNReLU(nn.Module):
         pad = [(self.padding, self.padding)] * ndim
         bias = (not self.use_bn) if self.use_bias is None else self.use_bias
         y = nn.Conv(self.features, k, strides=(self.stride,) * ndim,
-                    padding=pad, use_bias=bias,
+                    padding=pad, use_bias=bias, dtype=self.dtype,
                     kernel_init=torch_kaiming_uniform_conv)(x[None])[0]
         if self.use_bn:
-            y = BatchStatNorm()(y)
+            y = BatchStatNorm()(y.astype(jnp.float32))
         if self.use_relu:
             y = jax.nn.relu(y)
         return y
@@ -98,6 +99,7 @@ class ConvTransposeBNReLU(nn.Module):
     output_padding: int = 1
     use_bn: bool = True
     use_relu: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -118,13 +120,19 @@ class ConvTransposeBNReLU(nn.Module):
         pad_hi = k - 1 - self.padding + self.output_padding
         dn_spatial = "DHW"[-ndim:] if ndim <= 3 else None
         dn = ("N" + dn_spatial + "C", dn_spatial + "IO", "N" + dn_spatial + "C")
+        if self.dtype is not None:
+            # compute fully in the low-precision dtype (cast back after) —
+            # preferred_element_type=f32 breaks the conv VJP (f32 cotangent
+            # vs bf16 operands)
+            x = x.astype(self.dtype)
+            w_flip = w_flip.astype(self.dtype)
         y = jax.lax.conv_general_dilated(
             x[None], w_flip, window_strides=(1,) * ndim,
             padding=[(pad_lo, pad_hi)] * ndim,
             lhs_dilation=(self.stride,) * ndim,
             dimension_numbers=dn)[0]
         if self.use_bn:
-            y = BatchStatNorm()(y)
+            y = BatchStatNorm()(y.astype(jnp.float32))
         else:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + b

@@ -40,18 +40,20 @@ from ucnerf_tpu.ops.warp import homo_warp
 class FeatureNet(nn.Module):
     """FPN feature extractor for one view [H, W, 3] -> 3 stage maps."""
     base_channels: int = 8
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         bc = self.base_channels
-        conv0 = ConvBNReLU(bc, 3, 1, 1)(x)
-        conv0 = ConvBNReLU(bc, 3, 1, 1)(conv0)
-        conv1 = ConvBNReLU(bc * 2, 5, 2, 2)(conv0)
-        conv1 = ConvBNReLU(bc * 2, 3, 1, 1)(conv1)
-        conv1 = ConvBNReLU(bc * 2, 3, 1, 1)(conv1)
-        conv2 = ConvBNReLU(bc * 4, 5, 2, 2)(conv1)
-        conv2 = ConvBNReLU(bc * 4, 3, 1, 1)(conv2)
-        conv2 = ConvBNReLU(bc * 4, 3, 1, 1)(conv2)
+        dt = self.dtype
+        conv0 = ConvBNReLU(bc, 3, 1, 1, dtype=dt)(x)
+        conv0 = ConvBNReLU(bc, 3, 1, 1, dtype=dt)(conv0)
+        conv1 = ConvBNReLU(bc * 2, 5, 2, 2, dtype=dt)(conv0)
+        conv1 = ConvBNReLU(bc * 2, 3, 1, 1, dtype=dt)(conv1)
+        conv1 = ConvBNReLU(bc * 2, 3, 1, 1, dtype=dt)(conv1)
+        conv2 = ConvBNReLU(bc * 4, 5, 2, 2, dtype=dt)(conv1)
+        conv2 = ConvBNReLU(bc * 4, 3, 1, 1, dtype=dt)(conv2)
+        conv2 = ConvBNReLU(bc * 4, 3, 1, 1, dtype=dt)(conv2)
 
         intra = conv2
         out1 = nn.Conv(bc * 4, (1, 1), use_bias=False,
@@ -75,20 +77,22 @@ class CostRegNet(nn.Module):
     """3D U-Net cost regularizer [D, H, W, C] -> (cost [.,.,.,bc], prob[...,1])
     (reference ``mvs_models.py:412-443``)."""
     base_channels: int = 8
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         bc = self.base_channels
-        conv0 = ConvBNReLU(bc, 3, 1, 1)(x)
-        conv2 = ConvBNReLU(bc * 2, 3, 2, 1)(conv0)
-        conv2 = ConvBNReLU(bc * 2, 3, 1, 1)(conv2)
-        conv4 = ConvBNReLU(bc * 4, 3, 2, 1)(conv2)
-        conv4 = ConvBNReLU(bc * 4, 3, 1, 1)(conv4)
-        x = ConvBNReLU(bc * 8, 3, 2, 1)(conv4)
-        x = ConvBNReLU(bc * 8, 3, 1, 1)(x)
-        x = conv4 + ConvTransposeBNReLU(bc * 4)(x)
-        x = conv2 + ConvTransposeBNReLU(bc * 2)(x)
-        cost = conv0 + ConvTransposeBNReLU(bc)(x)
+        dt = self.dtype
+        conv0 = ConvBNReLU(bc, 3, 1, 1, dtype=dt)(x)
+        conv2 = ConvBNReLU(bc * 2, 3, 2, 1, dtype=dt)(conv0)
+        conv2 = ConvBNReLU(bc * 2, 3, 1, 1, dtype=dt)(conv2)
+        conv4 = ConvBNReLU(bc * 4, 3, 2, 1, dtype=dt)(conv2)
+        conv4 = ConvBNReLU(bc * 4, 3, 1, 1, dtype=dt)(conv4)
+        x = ConvBNReLU(bc * 8, 3, 2, 1, dtype=dt)(conv4)
+        x = ConvBNReLU(bc * 8, 3, 1, 1, dtype=dt)(x)
+        x = conv4 + ConvTransposeBNReLU(bc * 4, dtype=dt)(x)
+        x = conv2 + ConvTransposeBNReLU(bc * 2, dtype=dt)(x)
+        cost = conv0 + ConvTransposeBNReLU(bc, dtype=dt)(x)
         prob = nn.Conv(1, (3, 3, 3), padding=[(1, 1)] * 3, use_bias=False,
                        kernel_init=torch_kaiming_uniform_conv)(cost)
         return cost, prob
@@ -148,6 +152,7 @@ class CascadeMVSNet(nn.Module):
     depth_intervals_ratio: Sequence[int] = (4, 2, 1)
     base_channels: int = 8
     cr_base_chs: Sequence[int] = (8, 8, 8)
+    dtype: object = None           # conv compute dtype (bf16 on TPU)
 
     @nn.compact
     def __call__(self, imgs_src, affine_mats, affine_mats_inv, near, far,
@@ -158,7 +163,8 @@ class CascadeMVSNet(nn.Module):
         per_view_featnet = nn.vmap(
             FeatureNet, in_axes=0, out_axes=0,
             variable_axes={"params": None}, split_rngs={"params": False})
-        feats = per_view_featnet(self.base_channels, name="feature")(imgs_src)
+        feats = per_view_featnet(self.base_channels, self.dtype,
+                                 name="feature")(imgs_src)
 
         D0 = self.ndepths[0]
         t = jnp.linspace(0.0, 1.0, D0, dtype=imgs_src.dtype)
@@ -202,7 +208,8 @@ class CascadeMVSNet(nn.Module):
             variance = _variance_cost_volume(feats_stage, projs, depth_vals,
                                              stage_pad)
             cost_feat, prob_logits = CostRegNet(
-                self.cr_base_chs[si], name=f"cost_reg_{si}")(variance)
+                self.cr_base_chs[si], self.dtype,
+                name=f"cost_reg_{si}")(variance)
             prob = jax.nn.softmax(prob_logits[..., 0], axis=0)   # [D,h,w]
 
             depth = jnp.sum(prob * depth_vals, axis=0)           # [h(+2p),...]
