@@ -164,9 +164,15 @@ def build_color_volume_fast(points, src_w2cs, src_intrinsics, quad_views,
             [data[..., :3], mask[..., None].astype(data.dtype)], axis=-1)
         return col4, data[..., 3:]
 
-    colors, feats = jax.vmap(per_view)(src_w2cs, src_intrinsics, quad_views)
-    colors = jnp.moveaxis(colors, 0, -2).reshape(N, S, -1)
-    feats = jnp.moveaxis(feats, 0, -2).reshape(N, S, -1)
+    # static python loop, NOT vmap: a gather vmapped over per-view operands
+    # lowers ~3x slower on TPU than V independent gathers (measured)
+    colors, feats = [], []
+    for v in range(V1):
+        c4, f = per_view(src_w2cs[v], src_intrinsics[v], quad_views[v])
+        colors.append(c4)
+        feats.append(f)
+    colors = jnp.stack(colors, axis=-2).reshape(N, S, -1)
+    feats = jnp.stack(feats, axis=-2).reshape(N, S, -1)
     return jnp.concatenate([colors, feats], axis=-1)
 
 
