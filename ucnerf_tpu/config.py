@@ -106,6 +106,14 @@ class Config:
     mvs_dtype: str = "float32"        # compute dtype for the MVS cascade
     nerf_dtype: str = "bfloat16"      # NeRF MLP matmul dtype (params f32);
                                       # set float32 for bit-level parity work
+    use_pallas: bool = False          # fused Pallas MLP kernel in the eval
+                                      # render. 5.5x vs XLA when the feature
+                                      # tensor is already materialized, but
+                                      # SLOWER inside the fused frame (the
+                                      # kernel boundary forces [N,S,97] to
+                                      # HBM that XLA otherwise fuses away) —
+                                      # measured 551 -> 951 ms/frame. Kept
+                                      # for standalone-MLP workloads.
 
     # observability (SURVEY.md §5.1-5.2; no reference equivalent)
     profile_dir: Optional[str] = None  # write a jax.profiler trace here

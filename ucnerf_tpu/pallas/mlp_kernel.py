@@ -115,7 +115,7 @@ def _mlp_kernel(pts_ref, dirs_ref, feats_ref, *wb_refs,
 def fused_nerf_mlp(pts, dirs, feats, packed_weights, *, multires: int = 10,
                    multires_views: int = 4, view_num: int = 7,
                    depth: int = 6, skips: Tuple[int, ...] = (4,),
-                   tile: int = 2048, interpret: bool = False):
+                   tile: int = 512, interpret: bool = False):
     """pts [N, S, 3], dirs [N, 3], feats [N, S, F] -> raw [N, S, 4].
 
     Drop-in for ``UCNeRFMLP.apply`` given ``pack_mlp_weights(params)``.
@@ -151,6 +151,8 @@ def fused_nerf_mlp(pts, dirs, feats, packed_weights, *, multires: int = 10,
                   point_spec(feats_f.shape[-1])] + w_specs,
         out_specs=pl.BlockSpec((tile, 4), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(pts_f, dirs_f, feats_f, *packed_weights)
     return out[:P].reshape(N, S, 4)

@@ -174,8 +174,25 @@ def make_eval_render(cfg: Config, nerf, mvs, img_hw: Tuple[int, int]):
                 intrinsic_ref=batch["intrinsics"][0], near_ref=near,
                 far_ref=far, stage_planes=planes, n_samples=cfg.N_samples)
 
-        def nerf_apply(pts, dirs, feats):
-            return nerf.apply({"params": params["nerf"]}, pts, dirs, feats)
+        from ucnerf_tpu.pallas.mlp_kernel import (fused_nerf_mlp,
+                                                  pack_mlp_weights,
+                                                  pallas_supported)
+        if cfg.use_pallas and pallas_supported():
+            packed = pack_mlp_weights(
+                params["nerf"],
+                dtype=jnp.bfloat16 if cfg.nerf_dtype != "float32"
+                else jnp.float32)
+
+            def nerf_apply(pts, dirs, feats):
+                return fused_nerf_mlp(
+                    pts, dirs, feats, packed, multires=cfg.multires,
+                    multires_views=cfg.multires_views,
+                    view_num=cfg.view_num, depth=cfg.netdepth,
+                    skips=tuple(cfg.skips))
+        else:
+            def nerf_apply(pts, dirs, feats):
+                return nerf.apply({"params": params["nerf"]}, pts, dirs,
+                                  feats)
 
         from ucnerf_tpu.render.renderer import make_feat_ctx
         feat_ctx = make_feat_ctx(mvs_out, confidence, imgs[1:],
