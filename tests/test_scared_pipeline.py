@@ -1,0 +1,55 @@
+"""End-to-end SCARED dataset pipeline on a fabricated COLMAP scene:
+model -> poses_bounds -> sparse splat -> sample contract -> npz cache."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tests.test_colmap_io import _make_model
+from ucnerf_tpu.data import colmap
+from ucnerf_tpu.data.llff import gen_poses
+from ucnerf_tpu.data.scared import ScaredDataset
+
+
+@pytest.fixture(scope="module")
+def scene_root(tmp_path_factory):
+    rng = np.random.default_rng(7)
+    root = tmp_path_factory.mktemp("scared") / "scene0"
+    os.makedirs(root / "sparse" / "0")
+    os.makedirs(root / "images")
+    cams, images, points = _make_model(rng, n_images=8, n_points=300)
+    colmap.write_cameras_binary(cams, root / "sparse/0/cameras.bin")
+    colmap.write_images_binary(images, root / "sparse/0/images.bin")
+    colmap.write_points3d_binary(points, root / "sparse/0/points3D.bin")
+    for i in range(1, 9):
+        arr = rng.integers(0, 255, (48, 64, 3)).astype("uint8")
+        Image.fromarray(arr).save(root / "images" / f"img_{i:03d}.png")
+    gen_poses(str(root))
+    return str(root.parent)
+
+
+def test_scared_dataset_end_to_end(scene_root):
+    ds = ScaredDataset(scene_root, split="train", n_views=3,
+                       n_depth_rays=64, max_train_samples=4)
+    assert os.path.exists(os.path.join(scene_root, "scene0",
+                                       "_ucnerf_cache.npz"))
+    s = ds[0]
+    assert s["images"].shape == (3, 256, 320, 3)
+    assert s["sparse_mask"].sum() > 0
+    assert s["near_fars"][0, 0] < s["near_fars"][0, 1]
+    # sparse depth pixels carry positive depths inside bounds
+    sd = s["sparse_depths"][s["sparse_depths"] > 0]
+    assert sd.size > 0 and (sd > 0).all()
+    np.testing.assert_allclose(s["w2cs"][0] @ s["c2ws"][0], np.eye(4),
+                               atol=1e-4)
+
+    # cache round trip: a second construction loads identical scene arrays
+    ds2 = ScaredDataset(scene_root, split="val", n_views=3, n_depth_rays=64)
+    np.testing.assert_allclose(ds.scene["scene0"]["c2ws"],
+                               ds2.scene["scene0"]["c2ws"])
+    np.testing.assert_allclose(ds.scene["scene0"]["images"],
+                               ds2.scene["scene0"]["images"])
+    v = ds2[0]
+    assert v["images"].shape == (3, 256, 320, 3)

@@ -45,7 +45,8 @@ def run_validation(cfg, nerf, mvs, params, step_idx: int):
     out_dir = os.path.join(cfg.basedir, cfg.expname, "test_results")
     os.makedirs(out_dir, exist_ok=True)
 
-    gt_rgbs, pred_rgbs, gt_depths, pred_depths, masks = [], [], [], [], []
+    gt_rgbs, pred_rgbs, gt_depths, pred_depths, masks, scans = \
+        [], [], [], [], [], []
     for i in range(len(val_ds)):
         sample = val_ds[i]
         batch = to_device_batch(sample)
@@ -59,21 +60,34 @@ def run_validation(cfg, nerf, mvs, params, step_idx: int):
         gt_depths.append(sample["depths_h"])
         pred_depths.append(depth)
         masks.append((sample["depths_h"] > 0).astype(np.float32))
+        scans.append(int(sample["scan_idx"]))
         save_val_panel(os.path.join(out_dir,
                                     f"{step_idx:08d}_{i:02d}.png"),
                        gt, rgb, sample["depths_h"], depth)
 
-    gt_rgbs = np.stack(gt_rgbs)
-    pred_rgbs = np.stack(pred_rgbs)
-    psnr_v, ssim_v, lpips_v = rgb_evaluation(gt_rgbs, pred_rgbs,
-                                             lpips_fn=load_lpips())
+    # per-scene metrics averaged across scenes (reference
+    # on_validation_epoch_end groups val views per scan, train.py:342-379)
+    lpips_fn = load_lpips()
+    scans = np.asarray(scans)
+    names = ["abs_rel", "sq_rel", "rmse", "rmse_log", "a1", "a2", "a3"]
+    rgb_rows, depth_rows = [], []
+    for s in sorted(set(scans.tolist())):
+        sel = np.where(scans == s)[0]
+        print(val_ds.scans[s])
+        psnr_v, ssim_v, lpips_v = rgb_evaluation(
+            np.stack([gt_rgbs[j] for j in sel]),
+            np.stack([pred_rgbs[j] for j in sel]), lpips_fn=lpips_fn)
+        rgb_rows.append([psnr_v, ssim_v, lpips_v])
+        gt_d = np.stack([gt_depths[j] for j in sel])
+        if (gt_d > 0).any():
+            depth_rows.append(depth_evaluation(
+                gt_d, np.stack([pred_depths[j] for j in sel]),
+                np.stack([masks[j] for j in sel])))
+    psnr_v, ssim_v, lpips_v = np.stack(rgb_rows).mean(axis=0).tolist()
     print(f"psnr: {psnr_v}, ssim: {ssim_v}, lpips: {lpips_v}")
     metrics = dict(psnr=psnr_v, ssim=ssim_v, lpips=lpips_v)
-    gt_d = np.stack(gt_depths)
-    if (gt_d > 0).any():
-        derr = depth_evaluation(gt_d, np.stack(pred_depths),
-                                np.stack(masks))
-        names = ["abs_rel", "sq_rel", "rmse", "rmse_log", "a1", "a2", "a3"]
+    if depth_rows:
+        derr = np.stack(depth_rows).mean(axis=0)
         print(", ".join(f"{n}: {v}" for n, v in zip(names, derr)))
         metrics.update(dict(zip(names, derr.tolist())))
     with open(os.path.join(out_dir, "rgb_evaluation.txt"), "w") as fh:
@@ -117,10 +131,13 @@ def main(argv=None):
                           use_wandb=cfg.log)
     meter = RateMeter()
     global_step = 0
+    from ucnerf_tpu.utils.prefetch import ThreadPrefetcher
     for epoch in range(cfg.num_epochs):
         order = np.random.permutation(len(train_ds))
-        for i in order:
-            batch = to_device_batch(train_ds[int(i)])
+        loader = ThreadPrefetcher(
+            (lambda i=i: to_device_batch(train_ds[int(i)]) for i in order),
+            depth=2)
+        for batch in loader:
             key, sub = jax.random.split(key)
             if cfg.profile_dir and global_step == 10:
                 with trace(cfg.profile_dir):

@@ -64,6 +64,42 @@ class ScaredDataset(SceneDataset):
     # ------------------------------------------------------------ scene load
     def _load_scene(self, scan):
         sdir = self._scene_dir(scan)
+        cache = os.path.join(sdir, "_ucnerf_cache.npz")
+        if os.path.exists(cache):
+            return self._load_cache(cache)
+        scene = self._load_scene_uncached(scan)
+        try:
+            self._save_cache(cache, scene)
+        except OSError:
+            pass  # read-only dataset dirs are fine; just skip the cache
+        return scene
+
+    def _save_cache(self, path, scene):
+        flat = {k: scene[k] for k in ("images", "depths", "dpt", "c2ws",
+                                      "w2cs", "intrinsic", "near_far",
+                                      "bounds")}
+        for i, e in enumerate(scene["sparse"]):
+            for k in ("depth_img", "weight_img", "coords", "depths",
+                      "weights"):
+                flat[f"sparse{i}_{k}"] = e[k]
+        flat["n_sparse"] = np.asarray(len(scene["sparse"]))
+        np.savez(path, **flat)
+
+    def _load_cache(self, path):
+        data = np.load(path, allow_pickle=False)
+        n = int(data["n_sparse"])
+        sparse = [
+            {k: data[f"sparse{i}_{k}"] for k in ("depth_img", "weight_img",
+                                                 "coords", "depths",
+                                                 "weights")}
+            for i in range(n)]
+        return dict(images=data["images"], depths=data["depths"],
+                    dpt=data["dpt"], sparse=sparse, c2ws=data["c2ws"],
+                    w2cs=data["w2cs"], intrinsic=data["intrinsic"],
+                    near_far=data["near_far"], bounds=data["bounds"])
+
+    def _load_scene_uncached(self, scan):
+        sdir = self._scene_dir(scan)
         img_paths = sorted(glob.glob(os.path.join(sdir, "images/*")))
         pose_info = prepare_scene_poses(
             os.path.join(sdir, "poses_bounds.npy"), self.img_wh)
