@@ -122,7 +122,28 @@ def main(argv=None):
 
     tx = make_optimizer(cfg, steps_per_epoch=len(train_ds))
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
-    step = make_train_step(cfg, nerf, mvs, tx)
+    if cfg.ckpt and not cfg.ckpt.endswith((".tar", ".ckpt", ".pth")):
+        # orbax checkpoints resume the FULL state (params + optimizer + step)
+        state = checkpoint_io.load_checkpoint(cfg.ckpt, state)
+        print(f"resumed full train state at step {int(state.step)}")
+
+    n_par = int(np.prod(cfg.mesh_shape))
+    if n_par > 1:
+        # scene-data-parallel training over the device mesh (SURVEY §2.4)
+        from ucnerf_tpu.parallel.mesh import make_mesh
+        from ucnerf_tpu.parallel.sharding import (make_parallel_train_step,
+                                                  replicate_state,
+                                                  shard_scene_batch,
+                                                  stack_batches)
+        mesh = make_mesh(tuple(cfg.mesh_shape), tuple(cfg.mesh_axes))
+        state = replicate_state(state, mesh)
+        pstep = make_parallel_train_step(cfg, nerf, mvs, tx, mesh)
+
+        def step(state, batches_keys, _key):
+            batch, keys = batches_keys
+            return pstep(state, batch, keys)
+    else:
+        step = make_train_step(cfg, nerf, mvs, tx)
 
     ckpt_dir = os.path.join(cfg.basedir, cfg.expname, "ckpts")
     from ucnerf_tpu.utils.profiling import RateMeter, trace
@@ -130,15 +151,35 @@ def main(argv=None):
     writer = MetricWriter(os.path.join(cfg.basedir, cfg.expname, "tb"),
                           use_wandb=cfg.log)
     meter = RateMeter()
-    global_step = 0
+    global_step = int(state.step)
     from ucnerf_tpu.utils.prefetch import ThreadPrefetcher
     for epoch in range(cfg.num_epochs):
         order = np.random.permutation(len(train_ds))
-        loader = ThreadPrefetcher(
-            (lambda i=i: to_device_batch(train_ds[int(i)]) for i in order),
-            depth=2)
+        if n_par > 1:
+            from ucnerf_tpu.parallel.sharding import (shard_scene_batch,
+                                                      stack_batches)
+            if len(order) < n_par:
+                raise ValueError(
+                    f"{len(order)} train samples < mesh size {n_par}; "
+                    "raise --samples_per_scene or shrink --mesh_shape")
+            groups = [order[i:i + n_par] for i in
+                      range(0, len(order) - n_par + 1, n_par)]
+
+            def load_group(g):
+                from ucnerf_tpu.parallel.mesh import make_mesh  # noqa
+                b = stack_batches([train_ds[int(j)] for j in g])
+                return shard_scene_batch(b, mesh)
+            loader = ThreadPrefetcher(
+                (lambda g=g: load_group(g) for g in groups), depth=2)
+        else:
+            loader = ThreadPrefetcher(
+                (lambda i=i: to_device_batch(train_ds[int(i)])
+                 for i in order), depth=2)
         for batch in loader:
             key, sub = jax.random.split(key)
+            if n_par > 1:
+                sub = jax.random.split(sub, n_par)
+                batch = (batch, sub)
             if cfg.profile_dir and global_step == 10:
                 with trace(cfg.profile_dir):
                     state, metrics = step(state, batch, sub)
