@@ -37,7 +37,7 @@ ITERS = 10
 def main():
     cfg = Config(dataset_name="synthetic", view_num=7, batch_size=2000,
                  patch_size=6, patch_num=50, n_depth_rays=1024, N_samples=90,
-                 num_epochs=30, chunk=8192)
+                 num_epochs=30, chunk=1024)
     from ucnerf_tpu.data.synthetic import SyntheticDataset
     ds = SyntheticDataset("", split="train", n_views=cfg.view_num,
                           img_wh=(W, H), n_depth_rays=cfg.n_depth_rays,
