@@ -53,3 +53,38 @@ def test_scared_dataset_end_to_end(scene_root):
                                ds2.scene["scene0"]["images"])
     v = ds2[0]
     assert v["images"].shape == (3, 256, 320, 3)
+
+
+def test_hamlyn_layout(tmp_path):
+    """Hamlyn variant: 320x256 native .jpg images, no mm scaling."""
+    from ucnerf_tpu.data.scared import HamlynDataset
+    rng = np.random.default_rng(11)
+    root = tmp_path / "scene0"
+    os.makedirs(root / "sparse" / "0")
+    os.makedirs(root / "images")
+    cams, images_m, points = _make_model(rng, n_images=8, n_points=300)
+    colmap.write_cameras_binary(cams, root / "sparse/0/cameras.bin")
+    colmap.write_images_binary(images_m, root / "sparse/0/images.bin")
+    colmap.write_points3d_binary(points, root / "sparse/0/points3D.bin")
+    for i in range(1, 9):
+        arr = rng.integers(0, 255, (256, 320, 3)).astype("uint8")
+        Image.fromarray(arr).save(root / "images" / f"img_{i:03d}.jpg")
+    gen_poses(str(root))
+    ds = HamlynDataset(str(tmp_path), split="train", n_views=3,
+                       n_depth_rays=64, max_train_samples=2)
+    s = ds[0]
+    assert s["images"].shape == (3, 256, 320, 3)
+    assert ds.img_wh == (320, 256)
+
+
+def test_eval_flow_on_fabricated_scene(scene_root, tmp_path, monkeypatch):
+    """The eval.sh surface: train.py --eval on a real SCARED-layout scene."""
+    import train as train_cli
+    train_cli.main(["--dataset_name", "scared", "--datadir", scene_root,
+                    "--view_num", "3", "--N_samples", "9", "--chunk", "512",
+                    "--eval", "--basedir", str(tmp_path), "--expname", "ev"])
+    out = tmp_path / "ev" / "test_results" / "rgb_evaluation.txt"
+    assert out.exists()
+    import json
+    metrics = json.loads(out.read_text())
+    assert np.isfinite(metrics["psnr"])
