@@ -81,7 +81,12 @@ class Config:
     ckpt: Optional[str] = None
     eval: bool = False
 
-    # rendering (reference opt.py:73-95)
+    # rendering (reference opt.py:34, 73-95)
+    use_color_volume: bool = False    # reference --use_color_volume: project
+                                      # colors into a target-frustum volume
+                                      # once per frame (approximate colors,
+                                      # far fewer gathers)
+    color_volume_depths: int = 48
     encode_a: bool = False            # appearance embedding (NeRF-A); the
                                       # reference creates+optimizes it but the
                                       # live render path does not consume it

@@ -136,39 +136,16 @@ def build_color_volume_fast(points, src_w2cs, src_intrinsics, quad_views,
     Returns [N, S, (V-1)*4 + (V-1)*C_f] with the reference's colors-block /
     features-block channel layout.
     """
-    H, W = img_hw
     V1 = quad_views.shape[0]
-    c = quad_views.shape[-1] // 4
-    cf = c - 3
-    inv_scale = jnp.asarray([W - 1, H - 1], jnp.float32)
     N, S = points.shape[:2]
-
-    def per_view(w2c, K, quads):
-        pix = project_to_pixel(points, w2c, K, inv_scale)
-        g = pix[..., :2] * 2.0 - 1.0
-        # align_corners=True unnormalize + border clamp
-        ix = jnp.clip((g[..., 0] + 1.0) * 0.5 * (W - 1), 0.0, W - 1.0)
-        iy = jnp.clip((g[..., 1] + 1.0) * 0.5 * (H - 1), 0.0, H - 1.0)
-        x0 = jnp.floor(ix)
-        y0 = jnp.floor(iy)
-        wx = (ix - x0)[..., None]
-        wy = (iy - y0)[..., None]
-        idx = y0.astype(jnp.int32) * W + x0.astype(jnp.int32)
-        q = jnp.take(quads, idx, axis=0)                   # [N, S, 4c]
-        top = q[..., :c] * (1 - wx) + q[..., c:2 * c] * wx
-        bot = q[..., 2 * c:3 * c] * (1 - wx) + q[..., 3 * c:] * wx
-        data = top * (1 - wy) + bot * wy                   # [N, S, c]
-        mask = ((g[..., 0] > -1.0) & (g[..., 0] < 1.0)
-                & (g[..., 1] > -1.0) & (g[..., 1] < 1.0))
-        col4 = jnp.concatenate(
-            [data[..., :3], mask[..., None].astype(data.dtype)], axis=-1)
-        return col4, data[..., 3:]
 
     # static python loop, NOT vmap: a gather vmapped over per-view operands
     # lowers ~3x slower on TPU than V independent gathers (measured)
     colors, feats = [], []
     for v in range(V1):
-        c4, f = per_view(src_w2cs[v], src_intrinsics[v], quad_views[v])
+        c4, f = _bilinear_quad_sample(points, src_w2cs[v],
+                                      src_intrinsics[v], quad_views[v],
+                                      img_hw)
         colors.append(c4)
         feats.append(f)
     colors = jnp.stack(colors, axis=-2).reshape(N, S, -1)
@@ -177,10 +154,121 @@ def build_color_volume_fast(points, src_w2cs, src_intrinsics, quad_views,
 
 
 def gen_pts_feats_fast(rays, stage_volumes, confidence, quad_views,
-                       src_w2cs, src_intrinsics, img_hw):
+                       src_w2cs, src_intrinsics, img_hw, color_volumes=None,
+                       near=None, far=None):
     ray_feats, conf = index_point_feature_fast(stage_volumes, confidence,
                                                rays)
-    color_feats = build_color_volume_fast(rays["points_world"], src_w2cs,
-                                          src_intrinsics, quad_views, img_hw)
+    if color_volumes is not None:
+        n_feat = color_volumes.shape[-1] - 4
+        color_feats = sample_color_volumes_per_ray(color_volumes, rays, near,
+                                                   far, img_hw, n_feat)
+    else:
+        color_feats = build_color_volume_fast(rays["points_world"], src_w2cs,
+                                              src_intrinsics, quad_views,
+                                              img_hw)
     return jnp.concatenate([ray_feats, color_feats, conf[..., None]],
                            axis=-1)
+
+
+# --------------------------------------------------------- use_color_volume
+def build_color_volumes(quad_views, src_w2cs, src_intrinsics, c2w_tgt,
+                        intrinsic_tgt, near, far, img_hw, n_depths: int):
+    """Plane-sweep color+feature volumes in the target frustum.
+
+    The reference's ``--use_color_volume`` option ("project colors into a
+    volume without indexing from image everytime", ``opt.py:34``) rebuilt
+    TPU-first: bilinear-sample every source view once per frame at
+    ``n_depths`` uniform depth planes of every target pixel, so per-ray
+    featurization becomes ONE column gather per (ray, view) + a z-interp
+    einsum — 0.5M gathers/frame instead of 44M.  An approximation (colors
+    are z-interpolated between planes), opt-in like the reference.
+
+    Returns [V-1, H*W, n_depths, C+1] with the strict in-bounds mask baked
+    as the last channel.
+    """
+    H, W = img_hw
+    V1 = quad_views.shape[0]
+    c = quad_views.shape[-1] // 4
+    # world points for every (depth-plane, pixel) of the target view
+    ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    dirs = jnp.stack([(xs - intrinsic_tgt[0, 2]) / intrinsic_tgt[0, 0],
+                      (ys - intrinsic_tgt[1, 2]) / intrinsic_tgt[1, 1],
+                      jnp.ones_like(xs)], axis=-1)
+    dirs_w = dirs @ c2w_tgt[:3, :3].T
+    origin = c2w_tgt[:3, 3]
+    t = jnp.linspace(0.0, 1.0, n_depths)
+    depths = near * (1 - t) + far * t                       # [D]
+    # points [H*W, D, 3]
+    points = (origin + dirs_w[:, :, None, :]
+              * depths[None, None, :, None]).reshape(H * W, n_depths, 3)
+
+    vols = []
+    for v in range(V1):
+        col4, feat = _bilinear_quad_sample(points, src_w2cs[v],
+                                           src_intrinsics[v], quad_views[v],
+                                           img_hw)
+        # [HW, D, 3+1+cf]: rgb, mask, feats -> keep native order rgb|feat|mask
+        vols.append(jnp.concatenate([col4[..., :3], feat, col4[..., 3:]],
+                                    axis=-1))
+    return jnp.stack(vols)                                  # [V1, HW, D, c+1]
+
+
+def _bilinear_quad_sample(points, w2c, K, quads, img_hw):
+    """Shared bilinear quad sampling (same semantics as
+    ``build_color_volume_fast``'s per_view)."""
+    H, W = img_hw
+    c = quads.shape[-1] // 4
+    inv_scale = jnp.asarray([W - 1, H - 1], jnp.float32)
+    pix = project_to_pixel(points, w2c, K, inv_scale)
+    g = pix[..., :2] * 2.0 - 1.0
+    ix = jnp.clip((g[..., 0] + 1.0) * 0.5 * (W - 1), 0.0, W - 1.0)
+    iy = jnp.clip((g[..., 1] + 1.0) * 0.5 * (H - 1), 0.0, H - 1.0)
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    wx = (ix - x0)[..., None]
+    wy = (iy - y0)[..., None]
+    idx = y0.astype(jnp.int32) * W + x0.astype(jnp.int32)
+    q = jnp.take(quads, idx, axis=0)
+    top = q[..., :c] * (1 - wx) + q[..., c:2 * c] * wx
+    bot = q[..., 2 * c:3 * c] * (1 - wx) + q[..., 3 * c:] * wx
+    data = top * (1 - wy) + bot * wy
+    mask = ((g[..., 0] > -1.0) & (g[..., 0] < 1.0)
+            & (g[..., 1] > -1.0) & (g[..., 1] < 1.0))
+    col4 = jnp.concatenate([data[..., :3], mask[..., None].astype(data.dtype)],
+                           axis=-1)
+    return col4, data[..., 3:]
+
+
+def sample_color_volumes_per_ray(color_vols, rays, near, far, img_hw,
+                                 n_feat: int):
+    """Per-ray column gather + z-interp from prebuilt color volumes.
+
+    Returns the same layout as ``build_color_volume_fast``:
+    [N, S, (V-1)*4 + (V-1)*n_feat] (colors+mask block, then features).
+    """
+    H, W = img_hw
+    V1 = color_vols.shape[0]
+    idx = (rays["pixel_coords"][:, 0] * W
+           + rays["pixel_coords"][:, 1]).astype(jnp.int32)
+    z01 = (rays["depth_candidates"] - near) / (far - near)   # [N, S]
+    D = color_vols.shape[2]
+    zc = jnp.clip(z01 * (D - 1), 0.0, D - 1.0)
+    z0 = jnp.floor(zc)
+    wz = (zc - z0)[..., None]
+    z0i = z0.astype(jnp.int32)
+    z1i = jnp.minimum(z0i + 1, D - 1)
+    wmat = (jax.nn.one_hot(z0i, D, dtype=color_vols.dtype)
+            * (1 - wz) + jax.nn.one_hot(z1i, D, dtype=color_vols.dtype) * wz)
+
+    colors, feats = [], []
+    for v in range(V1):
+        cols = jnp.take(color_vols[v], idx, axis=0)          # [N, D, c+1]
+        out = jnp.einsum("nsd,ndc->nsc", wmat, cols)         # [N, S, c+1]
+        rgb, feat, mask = out[..., :3], out[..., 3:-1], out[..., -1:]
+        colors.append(jnp.concatenate([rgb, mask], axis=-1))
+        feats.append(feat)
+    N, S = z01.shape
+    colors = jnp.stack(colors, axis=-2).reshape(N, S, -1)
+    feats = jnp.stack(feats, axis=-2).reshape(N, S, -1)
+    return jnp.concatenate([colors, feats], axis=-1)

@@ -110,18 +110,33 @@ def gen_pts_feats(rays, mvs_out, confidence, imgs_src, src_w2cs,
     return jnp.concatenate([ray_feats, color_feats, conf[..., None]], axis=-1)
 
 
-def make_feat_ctx(mvs_out, confidence, imgs_src, src_w2cs, src_intrinsics):
+def make_feat_ctx(mvs_out, confidence, imgs_src, src_w2cs, src_intrinsics,
+                  color_volume=None):
     """Precompute the per-frame featurization context (cost-volume column
-    layouts + 2x2-quad-packed source views) once; reuse across ray tiles."""
-    from ucnerf_tpu.render.fast_feats import pack_quads
+    layouts + 2x2-quad-packed source views) once; reuse across ray tiles.
+
+    ``color_volume``: optional (c2w_tgt, K_tgt, near, far, n_depths) —
+    builds per-view plane-sweep color volumes once (the reference's
+    ``--use_color_volume`` option) so each (ray, view) costs one column
+    gather instead of S quad gathers.
+    """
+    from ucnerf_tpu.render.fast_feats import pack_quads, build_color_volumes
     H, W = imgs_src.shape[1:3]
-    return dict(
+    quads = pack_quads(jnp.concatenate(
+        [imgs_src, mvs_out["img_feats"]], axis=-1))
+    ctx = dict(
         stage_volumes={k: mvs_out[f"stage{k}"]["volume_feature"]
                        for k in (1, 2, 3)},
-        quad_views=pack_quads(jnp.concatenate(
-            [imgs_src, mvs_out["img_feats"]], axis=-1)),
-        confidence=confidence, src_w2cs=src_w2cs,
-        src_intrinsics=src_intrinsics, img_hw=(H, W))
+        quad_views=quads, confidence=confidence, src_w2cs=src_w2cs,
+        src_intrinsics=src_intrinsics, img_hw=(H, W),
+        color_volumes=None, near=None, far=None)
+    if color_volume is not None:
+        c2w_tgt, k_tgt, near, far, n_depths = color_volume
+        ctx["color_volumes"] = build_color_volumes(
+            quads, src_w2cs, src_intrinsics, c2w_tgt, k_tgt, near, far,
+            (H, W), n_depths)
+        ctx["near"], ctx["far"] = near, far
+    return ctx
 
 
 def render_rays(nerf_apply, rays, mvs_out, confidence, imgs_src, src_w2cs,
@@ -150,7 +165,10 @@ def render_rays(nerf_apply, rays, mvs_out, confidence, imgs_src, src_w2cs,
                                         ctx["confidence"],
                                         ctx["quad_views"], ctx["src_w2cs"],
                                         ctx["src_intrinsics"],
-                                        ctx["img_hw"])
+                                        ctx["img_hw"],
+                                        color_volumes=ctx.get("color_volumes"),
+                                        near=ctx.get("near"),
+                                        far=ctx.get("far"))
     else:
         input_feat = gen_pts_feats(rays, mvs_out, confidence, imgs_src,
                                    src_w2cs, src_intrinsics)

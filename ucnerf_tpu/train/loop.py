@@ -195,8 +195,11 @@ def make_eval_render(cfg: Config, nerf, mvs, img_hw: Tuple[int, int]):
                                   feats)
 
         from ucnerf_tpu.render.renderer import make_feat_ctx
+        cv = ((batch["c2ws"][0], batch["intrinsics"][0], near, far,
+               cfg.color_volume_depths) if cfg.use_color_volume else None)
         feat_ctx = make_feat_ctx(mvs_out, confidence, imgs[1:],
-                                 batch["w2cs"][1:], batch["intrinsics"][1:])
+                                 batch["w2cs"][1:], batch["intrinsics"][1:],
+                                 color_volume=cv)
 
         def render_chunk(rays):
             return render_rays(nerf_apply, rays, mvs_out, confidence,
