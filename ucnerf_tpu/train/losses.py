@@ -141,3 +141,33 @@ def total_loss(cfg, *, rgb, target_rgb, depth_pred, mvs_out, sparse_depth_ms,
         "nerf_depth": loss_nerf_depth, "mvs": loss_mvs,
         "smooth": loss_smooth, "scaleinv": loss_scaleinv,
     }
+
+
+# ------------------------------------------------------------- latent APIs
+# (defined-but-unused in the reference's live step; kept for API parity)
+
+def sl1_loss(depth_pred, depth_gt, mask=None):
+    """Smooth-L1 depth loss scaled by 2**(1-2) (reference ``SL1Loss``,
+    ``utils/loss.py:11-27``; instantiated at train.py:41 but unused)."""
+    per = smooth_l1(depth_pred, depth_gt)
+    if mask is not None:
+        m = mask.astype(per.dtype)
+        return jnp.sum(per * m) / jnp.maximum(jnp.sum(m), 1.0) * 0.5
+    return jnp.mean(per) * 0.5
+
+
+def compute_depth_loss(pred_depth, gt_depth):
+    """Median/MAD-normalized squared depth difference (reference
+    ``compute_depth_loss``, ``utils/loss.py:29-41``)."""
+    t_p = jnp.median(pred_depth)
+    s_p = jnp.mean(jnp.abs(pred_depth - t_p))
+    t_g = jnp.median(gt_depth)
+    s_g = jnp.mean(jnp.abs(gt_depth - t_g))
+    return jnp.mean(((pred_depth - t_p) / s_p - (gt_depth - t_g) / s_g) ** 2)
+
+
+def con_cal(pred, gt):
+    """Min-max-normalized negative per-row MSE "confidence" (reference
+    ``con_cal``, ``utils/loss.py:7-9``)."""
+    c = -jnp.mean((pred - gt) ** 2, axis=1)
+    return (c - c.min()) / (c.max() - c.min())
