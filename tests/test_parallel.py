@@ -21,6 +21,34 @@ def test_entry_compiles():
     assert np.isfinite(np.asarray(depth)).all()
 
 
+def test_parallel_eval_render_matches_single_device():
+    """Ray-sharded frame render on the 8-device mesh == single-device."""
+    from ucnerf_tpu.parallel.mesh import make_mesh
+    from ucnerf_tpu.parallel.sharding import make_parallel_eval_render
+    from ucnerf_tpu.train.loop import make_eval_render, to_device_batch
+    import __graft_entry__ as g
+
+    cfg, ds, nerf, mvs, params = g._tiny_setup()
+    H, W = ds.img_wh[1], ds.img_wh[0]
+    sample = ds[0]
+    batch = to_device_batch(sample)
+
+    render_1 = make_eval_render(cfg, nerf, mvs, (H, W))
+    rgb_1, depth_1, conf_1 = render_1(params, batch)
+
+    mesh = make_mesh((8,), ("data",))
+    render_8 = make_parallel_eval_render(cfg, nerf, mvs, (H, W), mesh)
+    rgb_8, depth_8, conf_8 = render_8(params, batch)
+
+    assert rgb_8.shape == (H, W, 3) and depth_8.shape == (H, W)
+    np.testing.assert_allclose(np.asarray(rgb_1), np.asarray(rgb_8),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(depth_1), np.asarray(depth_8),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(conf_1), np.asarray(conf_8),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_parallel_matches_serial_gradients():
     """1-device parallel step == serial step on the same scene batch."""
     from ucnerf_tpu.parallel.mesh import make_mesh

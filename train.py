@@ -38,19 +38,51 @@ from ucnerf_tpu.utils import checkpoint_io
 from ucnerf_tpu.utils.viz import save_val_panel
 
 
-def run_validation(cfg, nerf, mvs, params, step_idx: int):
-    val_ds = build_dataset(cfg, "val")
-    H, W = val_ds.img_wh[1], val_ds.img_wh[0]
-    render_view = make_eval_render(cfg, nerf, mvs, (H, W))
+class Validator:
+    """Validation harness built ONCE per run: the val dataset, the jitted
+    render (single-device or ray-sharded over the mesh), and LPIPS weights
+    are all constructed here and reused across calls — the round-1 version
+    rebuilt and re-jitted everything per validation."""
+
+    def __init__(self, cfg, nerf, mvs, mesh=None):
+        self.cfg = cfg
+        self.val_ds = build_dataset(cfg, "val")
+        H, W = self.val_ds.img_wh[1], self.val_ds.img_wh[0]
+        if mesh is not None and int(np.prod(cfg.mesh_shape)) > 1:
+            from ucnerf_tpu.parallel.sharding import make_parallel_eval_render
+            self.render_view = make_parallel_eval_render(
+                cfg, nerf, mvs, (H, W), mesh)
+        else:
+            self.render_view = make_eval_render(cfg, nerf, mvs, (H, W))
+        self._lpips_fn = None
+
+    @property
+    def lpips_fn(self):
+        if self._lpips_fn is None:
+            self._lpips_fn = load_lpips()
+        return self._lpips_fn
+
+    def __call__(self, params, step_idx: int):
+        return run_validation(self.cfg, self, params, step_idx)
+
+
+def run_validation(cfg, validator: Validator, params, step_idx: int):
+    val_ds = validator.val_ds
+    render_view = validator.render_view
     out_dir = os.path.join(cfg.basedir, cfg.expname, "test_results")
     os.makedirs(out_dir, exist_ok=True)
 
-    gt_rgbs, pred_rgbs, gt_depths, pred_depths, masks, scans = \
-        [], [], [], [], [], []
+    # Pipeline: dispatch every view before fetching any — jax dispatch is
+    # async, so the host loads/saves view k while the device renders k+1.
+    samples, pending = [], []
     for i in range(len(val_ds)):
         sample = val_ds[i]
-        batch = to_device_batch(sample)
-        rgb, depth, conf = render_view(params, batch)
+        samples.append(sample)
+        pending.append(render_view(params, to_device_batch(sample)))
+
+    gt_rgbs, pred_rgbs, gt_depths, pred_depths, masks, scans = \
+        [], [], [], [], [], []
+    for i, (sample, (rgb, depth, conf)) in enumerate(zip(samples, pending)):
         rgb = np.asarray(rgb)
         depth = np.asarray(depth)
         from ucnerf_tpu.data.base import unnormalize_image
@@ -67,7 +99,7 @@ def run_validation(cfg, nerf, mvs, params, step_idx: int):
 
     # per-scene metrics averaged across scenes (reference
     # on_validation_epoch_end groups val views per scan, train.py:342-379)
-    lpips_fn = load_lpips()
+    lpips_fn = validator.lpips_fn
     scans = np.asarray(scans)
     names = ["abs_rel", "sq_rel", "rmse", "rmse_log", "a1", "a2", "a3"]
     rgb_rows, depth_rows = [], []
@@ -116,8 +148,15 @@ def main(argv=None):
             params = checkpoint_io.load_checkpoint(cfg.ckpt, target).params
         print(f"restored params from {cfg.ckpt}")
 
+    n_par = int(np.prod(cfg.mesh_shape))
+    mesh = None
+    if n_par > 1:
+        from ucnerf_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(tuple(cfg.mesh_shape), tuple(cfg.mesh_axes))
+
+    validator = Validator(cfg, nerf, mvs, mesh=mesh)
     if cfg.eval:
-        run_validation(cfg, nerf, mvs, params, 0)
+        validator(params, 0)
         return
 
     tx = make_optimizer(cfg, steps_per_epoch=len(train_ds))
@@ -127,15 +166,12 @@ def main(argv=None):
         state = checkpoint_io.load_checkpoint(cfg.ckpt, state)
         print(f"resumed full train state at step {int(state.step)}")
 
-    n_par = int(np.prod(cfg.mesh_shape))
     if n_par > 1:
         # scene-data-parallel training over the device mesh (SURVEY §2.4)
-        from ucnerf_tpu.parallel.mesh import make_mesh
         from ucnerf_tpu.parallel.sharding import (make_parallel_train_step,
                                                   replicate_state,
                                                   shard_scene_batch,
                                                   stack_batches)
-        mesh = make_mesh(tuple(cfg.mesh_shape), tuple(cfg.mesh_axes))
         state = replicate_state(state, mesh)
         pstep = make_parallel_train_step(cfg, nerf, mvs, tx, mesh)
 
@@ -197,11 +233,11 @@ def main(argv=None):
                       f"rays/s {meter.rate:,.0f}")
             if global_step % 5000 == 4999:
                 checkpoint_io.save_checkpoint(ckpt_dir, state, global_step)
-        if (epoch + 1) % 2 == 0:
-            run_validation(cfg, nerf, mvs, state.params, global_step)
+        if (epoch + 1) % cfg.val_every_epochs == 0:
+            validator(state.params, global_step)
 
     checkpoint_io.save_checkpoint(ckpt_dir, state, global_step)
-    run_validation(cfg, nerf, mvs, state.params, global_step)
+    validator(state.params, global_step)
     writer.close()
 
 

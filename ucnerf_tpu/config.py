@@ -110,6 +110,11 @@ class Config:
     mesh_shape: Tuple[int, ...] = (1,)
     mesh_axes: Tuple[str, ...] = ("data",)
 
+    # validation cadence: every N epochs.  Deviation from the reference,
+    # which validates every epoch via Lightning (train.py:444-447) — set 1
+    # for exact parity; 2 halves eval cost with no training effect.
+    val_every_epochs: int = 2
+
     # precision
     mvs_dtype: str = "float32"        # compute dtype for the MVS cascade
     nerf_dtype: str = "bfloat16"      # NeRF MLP matmul dtype (params f32);

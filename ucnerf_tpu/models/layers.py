@@ -20,11 +20,106 @@ Layout: channel-last (NHWC / NDHWC), the TPU-native choice.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import NamedTuple, Sequence, Tuple
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+
+
+class Folded(NamedTuple):
+    """A [D, H, W, C] volume stored depth-folded as [H, W, D*C].
+
+    TPU-native layout for small-channel 3D convs: the MXU wants >=128-wide
+    channel contractions, but the reference's CostRegNet runs C=8..64
+    (``network/mvs_models.py:412-443``), which measures latency-bound on TPU
+    (~34-38 ms per U-Net regardless of a 4-64x size difference).  Folding
+    depth into channels turns every 3x3x3 conv into a 3x3 2D conv whose
+    (D*Cin) x (D*Cout) channel matrix is block-tridiagonal in depth — we
+    materialize it dense, trading ~D/3x redundant MXU FLOPs (cheap) for full
+    lane utilization (the actual bottleneck).
+    """
+    x: jnp.ndarray   # [H, W, D*C]
+    d: int           # static depth
+
+    @property
+    def channels(self) -> int:
+        return self.x.shape[-1] // self.d
+
+    def __add__(self, other: "Folded") -> "Folded":
+        assert self.d == other.d
+        return Folded(self.x + other.x, self.d)
+
+
+def fold_volume(x: jnp.ndarray) -> Folded:
+    """[D, H, W, C] -> Folded([H, W, D*C])."""
+    d, h, w, c = x.shape
+    return Folded(jnp.transpose(x, (1, 2, 0, 3)).reshape(h, w, d * c), d)
+
+
+def unfold_volume(f: Folded) -> jnp.ndarray:
+    """Folded -> [D, H, W, C]."""
+    h, w = f.x.shape[:2]
+    c = f.channels
+    return jnp.transpose(f.x.reshape(h, w, f.d, c), (2, 0, 1, 3))
+
+
+def _depth_taps_conv(d_in: int, k: int, stride: int, pad: int) -> np.ndarray:
+    """S[q, d_in, d_out] = 1 iff d_in == stride*d_out + q - pad (zero pad)."""
+    d_out = (d_in + 2 * pad - k) // stride + 1
+    S = np.zeros((k, d_in, d_out), np.float32)
+    for q in range(k):
+        for o in range(d_out):
+            i = stride * o + q - pad
+            if 0 <= i < d_in:
+                S[q, i, o] = 1.0
+    return S
+
+
+def _depth_taps_convT(d_in: int, k: int, stride: int, pad: int,
+                      output_padding: int) -> np.ndarray:
+    """torch ConvTranspose depth taps: out[o] += w[q]*x[i], o = stride*i-p+q."""
+    d_out = (d_in - 1) * stride - 2 * pad + k + output_padding
+    S = np.zeros((k, d_in, d_out), np.float32)
+    for q in range(k):
+        for i in range(d_in):
+            o = stride * i - pad + q
+            if 0 <= o < d_out:
+                S[q, i, o] = 1.0
+    return S
+
+
+def _fold_kernel(w, S):
+    """(kd, kh, kw, Cin, Cout) + S[kd, Din, Dout] ->
+    (kh, kw, Din*Cin, Dout*Cout) with folded channel index d*C + c."""
+    kd, kh, kw, cin, cout = w.shape
+    _, din, dout = S.shape
+    big = jnp.einsum("zab,zyxio->yxaibo", jnp.asarray(S, w.dtype), w)
+    return big.reshape(kh, kw, din * cin, dout * cout)
+
+
+def _fold_kernel_T(w, S):
+    """ConvTranspose weight (kd, kh, kw, Cout, Cin) + transpose-taps S ->
+    spatially-flipped (kh, kw, Din*Cin, Dout*Cout) ready for the
+    lhs-dilated direct conv."""
+    big = jnp.einsum("zab,zyxoi->yxaibo", jnp.asarray(S, w.dtype), w)
+    kh, kw = w.shape[1:3]
+    din, dout = S.shape[1:]
+    big = big.reshape(kh, kw, din * w.shape[4], dout * w.shape[3])
+    return jnp.flip(big, axis=(0, 1))
+
+
+class ParamHolder(nn.Module):
+    """Declares a single 'kernel' param — used to keep the flax param path
+    identical (e.g. 'Conv_0/kernel') when a layer's math is executed by
+    hand instead of by nn.Conv."""
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", torch_kaiming_uniform_conv, self.shape)
 
 
 def torch_kaiming_uniform_conv(key, shape, dtype=jnp.float32):
@@ -40,11 +135,26 @@ def torch_kaiming_uniform_conv(key, shape, dtype=jnp.float32):
 
 
 class BatchStatNorm(nn.Module):
-    """BatchNorm that always uses current-batch statistics (see module doc)."""
+    """BatchNorm that always uses current-batch statistics (see module doc).
+
+    With ``d`` set, the input is a depth-folded [..., D*C] tensor (see
+    ``Folded``); stats and affine params are per original channel C, reducing
+    over depth too — identical math to BN on the [D, H, W, C] volume.
+    """
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, d: int = None):
+        if d is not None:
+            c = x.shape[-1] // d
+            xs = x.reshape(x.shape[:-1] + (d, c))
+            scale = self.param("scale", nn.initializers.ones, (c,))
+            bias = self.param("bias", nn.initializers.zeros, (c,))
+            axes = tuple(range(xs.ndim - 1))
+            mean = jnp.mean(xs, axis=axes, keepdims=True)
+            var = jnp.var(xs, axis=axes, keepdims=True)
+            y = (xs - mean) * jax.lax.rsqrt(var + self.eps)
+            return (y * scale + bias).reshape(x.shape)
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
@@ -69,6 +179,8 @@ class ConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if isinstance(x, Folded):
+            return self._call_folded(x)
         ndim = x.ndim - 1  # spatial rank (no batch dim; channel-last)
         k = (self.kernel,) * ndim
         pad = [(self.padding, self.padding)] * ndim
@@ -81,6 +193,31 @@ class ConvBNReLU(nn.Module):
         if self.use_relu:
             y = jax.nn.relu(y)
         return y
+
+    def _call_folded(self, f: Folded) -> Folded:
+        """Depth-folded 3D conv (see ``Folded``): one 2D conv whose channel
+        matrix carries the depth taps.  Exact same math + param tree as the
+        3D ``nn.Conv`` path."""
+        k, s, p = self.kernel, self.stride, self.padding
+        cin = f.channels
+        w = ParamHolder(((k,) * 3) + (cin, self.features), name="Conv_0")()
+        S = _depth_taps_conv(f.d, k, s, p)
+        big = _fold_kernel(w, S)
+        d_out = S.shape[2]
+        x = f.x
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            big = big.astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x[None], big, window_strides=(s, s), padding=[(p, p)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+        bias = (not self.use_bn) if self.use_bias is None else self.use_bias
+        assert not bias, "folded conv path only supports bias-free convs"
+        if self.use_bn:
+            y = BatchStatNorm()(y.astype(jnp.float32), d=d_out)
+        if self.use_relu:
+            y = jax.nn.relu(y)
+        return Folded(y, d_out)
 
 
 class ConvTransposeBNReLU(nn.Module):
@@ -103,6 +240,8 @@ class ConvTransposeBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if isinstance(x, Folded):
+            return self._call_folded(x)
         ndim = x.ndim - 1
         cin = x.shape[-1]
         k = self.kernel
@@ -139,6 +278,34 @@ class ConvTransposeBNReLU(nn.Module):
         if self.use_relu:
             y = jax.nn.relu(y)
         return y
+
+    def _call_folded(self, f: Folded) -> Folded:
+        """Depth-folded 3D transposed conv: depth upsampling moves into the
+        channel matrix (``_depth_taps_convT``), the H/W part stays the
+        standard lhs-dilated direct conv with spatially flipped kernel."""
+        assert self.use_bn, "folded deconv path only supports BN variants"
+        k, s, p, op = (self.kernel, self.stride, self.padding,
+                       self.output_padding)
+        cin = f.channels
+        w = self.param("kernel", torch_kaiming_uniform_conv,
+                       ((k,) * 3) + (self.features, cin))
+        S = _depth_taps_convT(f.d, k, s, p, op)
+        big = _fold_kernel_T(w, S)
+        d_out = S.shape[2]
+        x = f.x
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            big = big.astype(self.dtype)
+        pad_lo = k - 1 - p
+        pad_hi = k - 1 - p + op
+        y = jax.lax.conv_general_dilated(
+            x[None], big, window_strides=(1, 1),
+            padding=[(pad_lo, pad_hi)] * 2, lhs_dilation=(s, s),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+        y = BatchStatNorm()(y.astype(jnp.float32), d=d_out)
+        if self.use_relu:
+            y = jax.nn.relu(y)
+        return Folded(y, d_out)
 
 
 def torch_linear_default_init(key, shape, dtype=jnp.float32):

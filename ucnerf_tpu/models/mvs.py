@@ -30,7 +30,10 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ucnerf_tpu.models.layers import ConvBNReLU, ConvTransposeBNReLU
+from ucnerf_tpu.models.layers import (ConvBNReLU, ConvTransposeBNReLU,
+                                      Folded, ParamHolder, _depth_taps_conv,
+                                      _fold_kernel, fold_volume,
+                                      unfold_volume)
 from ucnerf_tpu.models.layers import torch_kaiming_uniform_conv
 from ucnerf_tpu.ops.interpolate import (resize_bilinear, resize_trilinear,
                                         upsample2x_nearest)
@@ -75,14 +78,23 @@ class FeatureNet(nn.Module):
 
 class CostRegNet(nn.Module):
     """3D U-Net cost regularizer [D, H, W, C] -> (cost [.,.,.,bc], prob[...,1])
-    (reference ``mvs_models.py:412-443``)."""
+    (reference ``mvs_models.py:412-443``).
+
+    With ``folded=True`` (the default), every 3D conv runs depth-folded as a
+    2D conv with D*C channels (see ``layers.Folded``) — the same math and the
+    same parameter tree, but MXU-lane-efficient where the direct C=8..64
+    3D convs are latency-bound on TPU.
+    """
     base_channels: int = 8
     dtype: object = None
+    folded: bool = True
 
     @nn.compact
     def __call__(self, x):
         bc = self.base_channels
         dt = self.dtype
+        if self.folded:
+            x = fold_volume(x)
         conv0 = ConvBNReLU(bc, 3, 1, 1, dtype=dt)(x)
         conv2 = ConvBNReLU(bc * 2, 3, 2, 1, dtype=dt)(conv0)
         conv2 = ConvBNReLU(bc * 2, 3, 1, 1, dtype=dt)(conv2)
@@ -93,6 +105,15 @@ class CostRegNet(nn.Module):
         x = conv4 + ConvTransposeBNReLU(bc * 4, dtype=dt)(x)
         x = conv2 + ConvTransposeBNReLU(bc * 2, dtype=dt)(x)
         cost = conv0 + ConvTransposeBNReLU(bc, dtype=dt)(x)
+        if self.folded:
+            # f32 like the unfolded nn.Conv (which takes no compute dtype)
+            w = ParamHolder((3, 3, 3, bc, 1), name="Conv_0")()
+            big = _fold_kernel(w, _depth_taps_conv(cost.d, 3, 1, 1))
+            prob = jax.lax.conv_general_dilated(
+                cost.x[None], big, window_strides=(1, 1),
+                padding=[(1, 1)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+            return unfold_volume(cost), unfold_volume(Folded(prob, cost.d))
         prob = nn.Conv(1, (3, 3, 3), padding=[(1, 1)] * 3, use_bias=False,
                        kernel_init=torch_kaiming_uniform_conv)(cost)
         return cost, prob
@@ -153,6 +174,7 @@ class CascadeMVSNet(nn.Module):
     base_channels: int = 8
     cr_base_chs: Sequence[int] = (8, 8, 8)
     dtype: object = None           # conv compute dtype (bf16 on TPU)
+    folded_convs: bool = True      # depth-folded CostRegNet (layers.Folded)
 
     @nn.compact
     def __call__(self, imgs_src, affine_mats, affine_mats_inv, near, far,
@@ -208,7 +230,7 @@ class CascadeMVSNet(nn.Module):
             variance = _variance_cost_volume(feats_stage, projs, depth_vals,
                                              stage_pad)
             cost_feat, prob_logits = CostRegNet(
-                self.cr_base_chs[si], self.dtype,
+                self.cr_base_chs[si], self.dtype, self.folded_convs,
                 name=f"cost_reg_{si}")(variance)
             prob = jax.nn.softmax(prob_logits[..., 0], axis=0)   # [D,h,w]
 

@@ -84,6 +84,58 @@ def make_parallel_train_step(cfg: Config, nerf, mvs, tx, mesh: Mesh,
     return train_step
 
 
+def make_parallel_eval_render(cfg: Config, nerf, mvs, img_hw, mesh: Mesh,
+                              axis: str = "data"):
+    """Ray-sharded full-image eval render over the mesh (SURVEY §2.4(a)/§7
+    step 7 — the TPU answer to the reference's single-device chunk loop,
+    reference ``train.py:251-256``).
+
+    The per-view context (MVS forward + featurization inputs) is computed
+    replicated; the pixel tiles shard over the mesh axis via ``shard_map``,
+    each device lax.maps its local tiles, and the frame reassembles from the
+    sharded output (XLA inserts the gather on host fetch — no collective in
+    the hot loop).
+    """
+    from ucnerf_tpu.train.loop import (prepare_view_ctx, view_chunk_fns)
+
+    H, W = img_hw
+    n_dev = mesh.shape[axis]
+    repl = NamedSharding(mesh, P())
+
+    @jax.jit
+    def render_view(params, batch):
+        params = jax.lax.with_sharding_constraint(
+            params, jax.tree.map(lambda _: repl, params))
+        batch = jax.lax.with_sharding_constraint(
+            batch, jax.tree.map(lambda _: repl, batch))
+        ctx = prepare_view_ctx(cfg, nerf, mvs, params, batch)
+
+        chunk = cfg.chunk
+        n = H * W
+        per_round = chunk * n_dev
+        n_pad = (n + per_round - 1) // per_round * per_round
+        idx = jnp.arange(n_pad) % n
+        tiles = idx.reshape(n_dev, -1, chunk)
+
+        def local(ctx, tiles_local):
+            build_chunk, render_chunk = view_chunk_fns(cfg, nerf, H, W, ctx)
+
+            def body(pix):
+                return render_chunk(build_chunk(pix))
+
+            rgb, depth = jax.lax.map(body, tiles_local[0])
+            return rgb[None], depth[None]
+
+        rgb, depth = jax.shard_map(
+            local, mesh=mesh, in_specs=(P(), P(axis)),
+            out_specs=(P(axis), P(axis)))(ctx, tiles)
+        rgb = rgb.reshape(n_pad, 3)[:n].reshape(H, W, 3)
+        depth = depth.reshape(n_pad)[:n].reshape(H, W)
+        return jnp.clip(rgb, 0.0, 1.0), depth, ctx["confidence"]
+
+    return render_view
+
+
 def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
     repl = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, repl), state)

@@ -151,6 +151,79 @@ def make_train_step(cfg: Config, nerf, mvs, tx):
     return train_step
 
 
+def prepare_view_ctx(cfg: Config, nerf, mvs, params, batch) -> Dict:
+    """Per-view render context: MVS forward + featurization inputs.
+
+    Everything downstream of this is per-ray work; the returned pytree is
+    exactly what ``view_chunk_fns`` needs, which makes it the natural
+    replicated operand of the mesh-sharded eval render
+    (``parallel.sharding.make_parallel_eval_render``)."""
+    imgs_norm = batch["images"]
+    imgs = unnormalize(imgs_norm)
+    near, far = batch["near_fars"][0, 0], batch["near_fars"][0, 1]
+    mvs_out = mvs.apply({"params": params["mvs"]}, imgs_norm[1:],
+                        batch["affine_mat"], batch["affine_mat_inv"],
+                        near, far, pad=cfg.pad)
+    confidence = mvs_out["stage3"]["photometric_confidence"]
+
+    from ucnerf_tpu.render.renderer import make_feat_ctx
+    cv = ((batch["c2ws"][0], batch["intrinsics"][0], near, far,
+           cfg.color_volume_depths) if cfg.use_color_volume else None)
+    feat_ctx = make_feat_ctx(mvs_out, confidence, imgs[1:],
+                             batch["w2cs"][1:], batch["intrinsics"][1:],
+                             color_volume=cv)
+
+    packed = None
+    from ucnerf_tpu.pallas.mlp_kernel import (pack_mlp_weights,
+                                              pallas_supported)
+    if cfg.use_pallas and pallas_supported():
+        packed = pack_mlp_weights(
+            params["nerf"],
+            dtype=jnp.bfloat16 if cfg.nerf_dtype != "float32"
+            else jnp.float32)
+
+    return dict(nerf_params=params["nerf"], packed=packed, mvs_out=mvs_out,
+                confidence=confidence, imgs_src=imgs[1:],
+                w2cs=batch["w2cs"], intrinsics=batch["intrinsics"],
+                c2w_tgt=batch["c2ws"][0], near=near, far=far,
+                feat_ctx=feat_ctx)
+
+
+def view_chunk_fns(cfg: Config, nerf, H: int, W: int, ctx: Dict):
+    """(build_chunk, render_chunk) closures over a ``prepare_view_ctx``."""
+    planes = _stage_planes(ctx["mvs_out"], cfg.pad)
+
+    def build_chunk(pix):
+        return build_test_rays(
+            pix, H=H, W=W, intrinsic=ctx["intrinsics"][0],
+            c2w=ctx["c2w_tgt"], w2c_ref=ctx["w2cs"][0],
+            intrinsic_ref=ctx["intrinsics"][0], near_ref=ctx["near"],
+            far_ref=ctx["far"], stage_planes=planes,
+            n_samples=cfg.N_samples)
+
+    if ctx["packed"] is not None:
+        from ucnerf_tpu.pallas.mlp_kernel import fused_nerf_mlp
+
+        def nerf_apply(pts, dirs, feats):
+            return fused_nerf_mlp(
+                pts, dirs, feats, ctx["packed"], multires=cfg.multires,
+                multires_views=cfg.multires_views, view_num=cfg.view_num,
+                depth=cfg.netdepth, skips=tuple(cfg.skips))
+    else:
+        def nerf_apply(pts, dirs, feats):
+            return nerf.apply({"params": ctx["nerf_params"]}, pts, dirs,
+                              feats)
+
+    def render_chunk(rays):
+        return render_rays(nerf_apply, rays, ctx["mvs_out"],
+                           ctx["confidence"], ctx["imgs_src"],
+                           ctx["w2cs"][1:], ctx["intrinsics"][1:],
+                           ctx["w2cs"][0], white_bkgd=cfg.white_bkgd,
+                           feat_ctx=ctx["feat_ctx"])
+
+    return build_chunk, render_chunk
+
+
 def make_eval_render(cfg: Config, nerf, mvs, img_hw: Tuple[int, int]):
     """Full-image eval render (reference ``validation_step``,
     ``train.py:213-324``): one MVS forward, then lax.map over ray tiles."""
@@ -158,58 +231,11 @@ def make_eval_render(cfg: Config, nerf, mvs, img_hw: Tuple[int, int]):
 
     @jax.jit
     def render_view(params, batch):
-        imgs_norm = batch["images"]
-        imgs = unnormalize(imgs_norm)
-        near, far = batch["near_fars"][0, 0], batch["near_fars"][0, 1]
-        mvs_out = mvs.apply({"params": params["mvs"]}, imgs_norm[1:],
-                            batch["affine_mat"], batch["affine_mat_inv"],
-                            near, far, pad=cfg.pad)
-        confidence = mvs_out["stage3"]["photometric_confidence"]
-        planes = _stage_planes(mvs_out, cfg.pad)
-
-        def build_chunk(pix):
-            return build_test_rays(
-                pix, H=H, W=W, intrinsic=batch["intrinsics"][0],
-                c2w=batch["c2ws"][0], w2c_ref=batch["w2cs"][0],
-                intrinsic_ref=batch["intrinsics"][0], near_ref=near,
-                far_ref=far, stage_planes=planes, n_samples=cfg.N_samples)
-
-        from ucnerf_tpu.pallas.mlp_kernel import (fused_nerf_mlp,
-                                                  pack_mlp_weights,
-                                                  pallas_supported)
-        if cfg.use_pallas and pallas_supported():
-            packed = pack_mlp_weights(
-                params["nerf"],
-                dtype=jnp.bfloat16 if cfg.nerf_dtype != "float32"
-                else jnp.float32)
-
-            def nerf_apply(pts, dirs, feats):
-                return fused_nerf_mlp(
-                    pts, dirs, feats, packed, multires=cfg.multires,
-                    multires_views=cfg.multires_views,
-                    view_num=cfg.view_num, depth=cfg.netdepth,
-                    skips=tuple(cfg.skips))
-        else:
-            def nerf_apply(pts, dirs, feats):
-                return nerf.apply({"params": params["nerf"]}, pts, dirs,
-                                  feats)
-
-        from ucnerf_tpu.render.renderer import make_feat_ctx
-        cv = ((batch["c2ws"][0], batch["intrinsics"][0], near, far,
-               cfg.color_volume_depths) if cfg.use_color_volume else None)
-        feat_ctx = make_feat_ctx(mvs_out, confidence, imgs[1:],
-                                 batch["w2cs"][1:], batch["intrinsics"][1:],
-                                 color_volume=cv)
-
-        def render_chunk(rays):
-            return render_rays(nerf_apply, rays, mvs_out, confidence,
-                               imgs[1:], batch["w2cs"][1:],
-                               batch["intrinsics"][1:], batch["w2cs"][0],
-                               white_bkgd=cfg.white_bkgd, feat_ctx=feat_ctx)
-
+        ctx = prepare_view_ctx(cfg, nerf, mvs, params, batch)
+        build_chunk, render_chunk = view_chunk_fns(cfg, nerf, H, W, ctx)
         rgb, depth = render_image_chunked(build_chunk, render_chunk, H, W,
                                           cfg.chunk)
-        return jnp.clip(rgb, 0.0, 1.0), depth, confidence
+        return jnp.clip(rgb, 0.0, 1.0), depth, ctx["confidence"]
 
     return render_view
 
