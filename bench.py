@@ -70,12 +70,16 @@ def main():
     dt = (time.perf_counter() - t0) / ITERS
     train_rays_per_sec = cfg.n_train_rays / dt
 
-    # eval render path
+    # eval render path.  Two warmup frames: the first is the compile, the
+    # second still pays one-time relayout/transfer on the axon backend
+    # (measured ~2x a steady-state frame) — timing from frame 3 gives the
+    # steady-state number the eval loop actually sees.
     render_view = make_eval_render(cfg, nerf, mvs, (H, W))
-    rgb, depth, conf = render_view(state.params, batch)   # compile
-    float(jnp.sum(rgb))
+    for _ in range(2):
+        rgb, depth, conf = render_view(state.params, batch)
+        float(jnp.sum(rgb))
     t0 = time.perf_counter()
-    n_frames = 3
+    n_frames = 6
     for _ in range(n_frames):
         rgb, depth, conf = render_view(state.params, batch)
         float(jnp.sum(rgb) + jnp.sum(depth))

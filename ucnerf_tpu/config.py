@@ -115,6 +115,11 @@ class Config:
     # for exact parity; 2 halves eval cost with no training effect.
     val_every_epochs: int = 2
 
+    # stratified-jitter the eval-time depth candidates, like the reference
+    # does even at eval (utils/utils.py:705-706).  Default off (deterministic
+    # midpoint renders are reproducible); turn on for reference-parity runs.
+    eval_jitter: bool = False
+
     # precision
     mvs_dtype: str = "float32"        # compute dtype for the MVS cascade
     nerf_dtype: str = "bfloat16"      # NeRF MLP matmul dtype (params f32);

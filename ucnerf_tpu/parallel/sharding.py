@@ -103,12 +103,14 @@ def make_parallel_eval_render(cfg: Config, nerf, mvs, img_hw, mesh: Mesh,
     repl = NamedSharding(mesh, P())
 
     @jax.jit
-    def render_view(params, batch):
+    def render_view(params, batch, key=None):
         params = jax.lax.with_sharding_constraint(
             params, jax.tree.map(lambda _: repl, params))
         batch = jax.lax.with_sharding_constraint(
             batch, jax.tree.map(lambda _: repl, batch))
         ctx = prepare_view_ctx(cfg, nerf, mvs, params, batch)
+        if cfg.eval_jitter:
+            ctx["eval_key"] = (jax.random.PRNGKey(0) if key is None else key)
 
         chunk = cfg.chunk
         n = H * W

@@ -192,14 +192,17 @@ def prepare_view_ctx(cfg: Config, nerf, mvs, params, batch) -> Dict:
 def view_chunk_fns(cfg: Config, nerf, H: int, W: int, ctx: Dict):
     """(build_chunk, render_chunk) closures over a ``prepare_view_ctx``."""
     planes = _stage_planes(ctx["mvs_out"], cfg.pad)
+    eval_key = ctx.get("eval_key")     # set iff cfg.eval_jitter
 
     def build_chunk(pix):
+        key = (None if eval_key is None
+               else jax.random.fold_in(eval_key, pix[0]))
         return build_test_rays(
             pix, H=H, W=W, intrinsic=ctx["intrinsics"][0],
             c2w=ctx["c2w_tgt"], w2c_ref=ctx["w2cs"][0],
             intrinsic_ref=ctx["intrinsics"][0], near_ref=ctx["near"],
             far_ref=ctx["far"], stage_planes=planes,
-            n_samples=cfg.N_samples)
+            n_samples=cfg.N_samples, key=key)
 
     if ctx["packed"] is not None:
         from ucnerf_tpu.pallas.mlp_kernel import fused_nerf_mlp
@@ -230,8 +233,10 @@ def make_eval_render(cfg: Config, nerf, mvs, img_hw: Tuple[int, int]):
     H, W = img_hw
 
     @jax.jit
-    def render_view(params, batch):
+    def render_view(params, batch, key=None):
         ctx = prepare_view_ctx(cfg, nerf, mvs, params, batch)
+        if cfg.eval_jitter:
+            ctx["eval_key"] = (jax.random.PRNGKey(0) if key is None else key)
         build_chunk, render_chunk = view_chunk_fns(cfg, nerf, H, W, ctx)
         rgb, depth = render_image_chunked(build_chunk, render_chunk, H, W,
                                           cfg.chunk)
