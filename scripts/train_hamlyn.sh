@@ -1,5 +1,13 @@
 #!/bin/sh
-# Mirror of reference scripts/train_hamlyn.sh (patch_size 4)
+# Mirror of reference scripts/train_hamlyn.sh (patch_size 4).
+# Like the reference, resumes from the pretrained ucnerf.tar by default when
+# present; set CKPT= to start from scratch or point elsewhere.
+CKPT="${CKPT-pretrained_weights/ucnerf.tar}"
+if [ -n "$CKPT" ] && [ -f "$CKPT" ]; then
+    set -- --ckpt "$CKPT" "$@"
+elif [ -n "$CKPT" ]; then
+    echo "note: $CKPT not found, training from scratch" >&2
+fi
 python train.py --preset train_hamlyn \
     --datadir "${DATADIR:-../../Datasets/hamlyn}" \
     --expname hamlyn --basedir ./logs "$@"

@@ -51,3 +51,24 @@ def test_midas_metric_conversion():
     d = np.asarray(midas_to_metric_depth(pred))
     assert (d > 0).all()
     assert d[0] > d[1] > d[2]   # larger inverse depth -> closer
+
+
+def test_dpt_input_size_matches_reference_resize():
+    """dpt_input_size == the reference Resize.get_size('minimal', x32)
+    (preprocess/DPT/dpt/transforms.py:104-155, run_monodepth.py:66-74) —
+    checked against the reference's own class on a grid of resolutions."""
+    import sys
+    if "/root/reference/preprocess/DPT" not in sys.path:
+        sys.path.insert(0, "/root/reference/preprocess/DPT")
+    from dpt.transforms import Resize
+    import cv2
+
+    from ucnerf_tpu.models.dpt import dpt_input_size
+
+    ref = Resize(384, 384, resize_target=None, keep_aspect_ratio=True,
+                 ensure_multiple_of=32, resize_method="minimal",
+                 image_interpolation_method=cv2.INTER_CUBIC)
+    for h, w in [(256, 320), (1024, 1280), (384, 384), (375, 500),
+                 (480, 640), (300, 400), (1080, 1920), (123, 457)]:
+        new_w, new_h = ref.get_size(w, h)   # reference returns (width, height)
+        assert dpt_input_size(h, w) == (new_h, new_w), (h, w)

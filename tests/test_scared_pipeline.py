@@ -88,3 +88,40 @@ def test_eval_flow_on_fabricated_scene(scene_root, tmp_path, monkeypatch):
     import json
     metrics = json.loads(out.read_text())
     assert np.isfinite(metrics["psnr"])
+
+
+def test_finetune_dataset(scene_root):
+    """FinetuneDataset (the reference's unregistered FTDataset,
+    data/finetune.py:151-253, fixed and registered here): index.ini split
+    parsing, train metas drawn from the train set only, val refs = test
+    indices with nearest-pose train sources."""
+    from ucnerf_tpu.data.finetune import FinetuneDataset
+
+    ini = os.path.join(scene_root, "scene0", "index.ini")
+    with open(ini, "w") as fh:
+        fh.write("[index]\ntrain = 0,2,4,6\ntest = 1,3,5\n")
+
+    ds = FinetuneDataset(scene_root, split="train", n_views=3,
+                         n_depth_rays=64, max_train_samples=6)
+    assert len(ds) == 6
+    for scan, ref, srcs in ds.metas:
+        assert ref in (0, 2, 4, 6)
+        assert all(s in (0, 2, 4, 6) for s in srcs)
+        assert ref not in srcs and len(srcs) == 2
+    s = ds[0]
+    assert s["images"].shape == (3, 256, 320, 3)
+    assert s["sparse_mask"].sum() > 0
+
+    val = FinetuneDataset(scene_root, split="val", n_views=3,
+                          n_depth_rays=64)
+    assert [m[1] for m in val.metas] == [1, 3, 5]
+    for scan, ref, srcs in val.metas:
+        # sources come from the train split, nearest poses first
+        assert all(s in (0, 2, 4, 6) for s in srcs)
+        assert len(srcs) == 2
+    v = val[0]
+    assert v["images"].shape == (3, 256, 320, 3)
+
+    # registered under the reference's intended name (fixed defect #5)
+    from ucnerf_tpu.data import dataset_dict
+    assert dataset_dict["finetune"] is FinetuneDataset

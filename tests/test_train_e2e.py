@@ -83,3 +83,34 @@ def test_eval_render_shapes(cfg, dataset):
     assert np.asarray(rgb).min() >= 0 and np.asarray(rgb).max() <= 1
     d = np.asarray(depth)
     assert d.min() > 0
+
+
+def test_lr_schedules():
+    """cosine|steplr|poly all build and follow their definitions (the
+    reference parses all three, opt.py:58-60, but only builds cosine —
+    train.py:89)."""
+    import jax.numpy as jnp
+    from ucnerf_tpu.config import Config
+    from ucnerf_tpu.train.loop import make_lr_schedule
+
+    cfg = Config(dataset_name="synthetic", lrate=1e-3, num_epochs=10,
+                 decay_step=(5, 10), decay_gamma=0.5)
+    cos = make_lr_schedule(cfg, steps_per_epoch=2)
+    assert abs(float(cos(0)) - 1e-3) < 1e-9
+    assert float(cos(20)) < 1e-6                      # annealed to eta_min
+
+    cfg_s = cfg.replace(lr_scheduler="steplr")
+    step = make_lr_schedule(cfg_s, steps_per_epoch=2)
+    assert abs(float(step(0)) - 1e-3) < 1e-9
+    assert abs(float(step(7)) - 5e-4) < 1e-9          # past milestone 5
+    assert abs(float(step(12)) - 2.5e-4) < 1e-9       # past both
+
+    cfg_p = cfg.replace(lr_scheduler="poly")
+    poly = make_lr_schedule(cfg_p, steps_per_epoch=2)
+    assert abs(float(poly(0)) - 1e-3) < 1e-9
+    assert float(poly(10)) < float(poly(2))
+    assert float(poly(20)) == 0.0
+
+    import pytest
+    with pytest.raises(ValueError):
+        make_lr_schedule(cfg.replace(lr_scheduler="nope"), 2)

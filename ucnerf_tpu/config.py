@@ -36,8 +36,12 @@ class Config:
 
     # data  (reference opt.py:16-22, data/scared.py:164-167)
     dataset_name: str = "scared"      # scared | hamlyn | finetune | synthetic
-    imgScale_train: float = 0.25
-    imgScale_test: float = 0.25
+    # image-scale overrides.  The reference parses these (opt.py:18-19) but
+    # both its datasets HARDCODE their downsample (data/scared.py:164,
+    # data/hamlyn.py:220) — a dead flag.  Here None means the dataset's
+    # native scale (scared 0.25, hamlyn 1.0); a float actually applies.
+    imgScale_train: Optional[float] = None
+    imgScale_test: Optional[float] = None
     img_downscale: float = 1.0
     pad: int = 0
     view_num: int = 5                 # V: 1 target + (V-1) source views

@@ -19,6 +19,13 @@ def build_dataset(cfg, split: str):
     kw = dict(split=split, n_views=cfg.view_num,
               n_depth_rays=cfg.n_depth_rays,
               max_train_samples=cfg.samples_per_scene)
+    if cfg.dataset_name in ("scared", "hamlyn", "finetune"):
+        # --imgScale_train/test: dead in the reference (parsed at
+        # opt.py:18-19, hardcoded over at data/scared.py:164); here None
+        # keeps the dataset-native scale and a float actually applies.
+        scale = cfg.imgScale_train if split == "train" else cfg.imgScale_test
+        if scale is not None:
+            kw["downsample"] = scale
     if cfg.dataset_name == "finetune" and cfg.finetune:
         kw["finetune_scan"] = cfg.finetune
     return cls(cfg.datadir, **kw)

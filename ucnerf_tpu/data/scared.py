@@ -33,10 +33,17 @@ class ScaredDataset(SceneDataset):
     img_ext = "jpeg"
     depth_scale = 1.0 / 1000.0  # mm -> m
 
-    def __init__(self, datadir, split="train", n_views=7, **kw):
+    def __init__(self, datadir, split="train", n_views=7, downsample=None,
+                 **kw):
+        # --imgScale_train/test (reference opt.py:18-19, consumed as the
+        # dataset's downSample at data/scared.py:164-167)
+        if downsample is not None:
+            self.downsample = float(downsample)
         img_wh = (int(self.native_wh[0] * self.downsample),
                   int(self.native_wh[1] * self.downsample))
-        assert img_wh[0] % 32 == 0 and img_wh[1] % 32 == 0
+        assert img_wh[0] % 32 == 0 and img_wh[1] % 32 == 0, (
+            f"imgScale {self.downsample} gives {img_wh}; the cascade needs "
+            "multiple-of-32 dims")
         super().__init__(datadir, split, n_views, img_wh, **kw)
 
     # ------------------------------------------------------------ IO helpers

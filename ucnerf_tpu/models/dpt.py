@@ -302,6 +302,24 @@ def midas_to_metric_depth(pred, scale: float = MIDAS_SCALE,
     return 1.0 / jnp.maximum(d, 1e-8)
 
 
+def dpt_input_size(h: int, w: int, target: int = 384,
+                   multiple: int = 32):
+    """The reference's DPT inference resolution rule: keep-aspect 'minimal'
+    resize toward ``target`` with multiple-of-32 output dims
+    (reference ``preprocess/DPT/dpt/transforms.py:104-155`` configured by
+    ``run_monodepth.py:66-74``).  Returns (new_h, new_w)."""
+    scale_h = target / h
+    scale_w = target / w
+    # 'minimal': scale as little as possible — fit whichever axis is closer
+    if abs(1 - scale_w) < abs(1 - scale_h):
+        scale_h = scale_w
+    else:
+        scale_w = scale_h
+    new_h = int(np.round(scale_h * h / multiple) * multiple)
+    new_w = int(np.round(scale_w * w / multiple) * multiple)
+    return new_h, new_w
+
+
 def load_dpt(weights_path=None, metric: bool = True):
     """Returns predict(img01 [H,W,3] in [0,1]) -> depth [H,W].
 
@@ -310,6 +328,12 @@ def load_dpt(weights_path=None, metric: bool = True):
     internally (the reference's DPT transform normalizes with 0.5/0.5; the
     transformers MiDaS config uses ImageNet stats — we follow the weights
     being loaded via the `norm` key if present, defaulting to 0.5/0.5).
+
+    Inference protocol matches the reference (``run_monodepth.py:88-114``):
+    the image is resized to the 384-grid via ``dpt_input_size`` (cubic),
+    the net runs at that resolution, the metric conversion is applied (the
+    reference bakes scale/shift/invert into ``DPTDepthModel``), and the
+    depth map is bicubically upsampled back to the input resolution.
     """
     if weights_path is None:
         weights_path = os.environ.get("UCNERF_DPT_WEIGHTS",
@@ -331,8 +355,16 @@ def load_dpt(weights_path=None, metric: bool = True):
     fwd = jax.jit(lambda img: dpt_forward(params, img))
 
     def predict(img01):
-        x = (jnp.asarray(img01, jnp.float32) - 0.5) / 0.5
+        x = jnp.asarray(img01, jnp.float32)
+        H, W = x.shape[:2]
+        net_h, net_w = dpt_input_size(H, W)
+        if (net_h, net_w) != (H, W):
+            x = jax.image.resize(x, (net_h, net_w, 3), method="cubic")
+        x = (x - 0.5) / 0.5
         pred = fwd(x)
-        return np.asarray(midas_to_metric_depth(pred) if metric else pred)
+        pred = midas_to_metric_depth(pred) if metric else pred
+        if (net_h, net_w) != (H, W):
+            pred = jax.image.resize(pred, (H, W), method="cubic")
+        return np.asarray(pred)
 
     return predict

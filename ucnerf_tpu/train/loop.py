@@ -43,8 +43,39 @@ def cosine_epoch_schedule(lrate: float, num_epochs: int,
     return schedule
 
 
+def make_lr_schedule(cfg: Config, steps_per_epoch: int):
+    """--lr_scheduler cosine|steplr|poly.
+
+    The reference PARSES all three (opt.py:58-60) but builds only cosine
+    (train.py:89) — steplr/poly are dead flags there.  Here all three work:
+    - cosine: torch CosineAnnealingLR(T_max=num_epochs), per-epoch (parity).
+    - steplr: torch MultiStepLR over global steps — lr * gamma^(#milestones
+      passed), milestones = --decay_step, gamma = --decay_gamma.
+    - poly:   lr * (1 - epoch/num_epochs)^0.9 (the standard poly power; the
+      reference never defined one).
+    """
+    if cfg.lr_scheduler == "cosine":
+        return cosine_epoch_schedule(cfg.lrate, cfg.num_epochs,
+                                     steps_per_epoch)
+    if cfg.lr_scheduler == "steplr":
+        milestones = jnp.asarray(cfg.decay_step)
+
+        def steplr(step):
+            n = jnp.sum(step >= milestones)
+            return cfg.lrate * cfg.decay_gamma ** n
+        return steplr
+    if cfg.lr_scheduler == "poly":
+        total = cfg.num_epochs
+
+        def poly(step):
+            epoch = jnp.minimum(step // steps_per_epoch, total)
+            return cfg.lrate * (1.0 - epoch / total) ** 0.9
+        return poly
+    raise ValueError(f"unknown lr_scheduler {cfg.lr_scheduler!r}")
+
+
 def make_optimizer(cfg: Config, steps_per_epoch: int):
-    sched = cosine_epoch_schedule(cfg.lrate, cfg.num_epochs, steps_per_epoch)
+    sched = make_lr_schedule(cfg, steps_per_epoch)
     tx = optax.adam(sched, b1=0.9, b2=0.999)
     if cfg.finetune is not None:
         # freeze the MVS ("Consistency Learner") parameters
