@@ -30,7 +30,7 @@ from ucnerf_tpu.train.loop import (TrainState, make_optimizer,
                                    to_device_batch)
 
 H, W = 256, 320
-WARMUP = 2
+WARMUP = 6
 ITERS = 10
 
 
@@ -62,28 +62,32 @@ def main():
         state, metrics = step(state, batch, sub)
         float(metrics["loss"])
 
-    t0 = time.perf_counter()
+    # Per-call durations, median reported: the axon tunnel has a slow
+    # settling window of several seconds after each fresh executable
+    # (measured: identical calls at 449 ms then 345 ms) — the median over a
+    # longer run is the steady-state number and is robust to it.
+    times = []
     for _ in range(ITERS):
         key, sub = jax.random.split(key)
+        t0 = time.perf_counter()
         state, metrics = step(state, batch, sub)
         float(metrics["loss"])
-    dt = (time.perf_counter() - t0) / ITERS
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
     train_rays_per_sec = cfg.n_train_rays / dt
 
-    # eval render path.  Two warmup frames: the first is the compile, the
-    # second still pays one-time relayout/transfer on the axon backend
-    # (measured ~2x a steady-state frame) — timing from frame 3 gives the
-    # steady-state number the eval loop actually sees.
+    # eval render path — same median methodology as the train step.
     render_view = make_eval_render(cfg, nerf, mvs, (H, W))
     for _ in range(2):
         rgb, depth, conf = render_view(state.params, batch)
         float(jnp.sum(rgb))
-    t0 = time.perf_counter()
-    n_frames = 6
-    for _ in range(n_frames):
+    rtimes = []
+    for _ in range(12):
+        t0 = time.perf_counter()
         rgb, depth, conf = render_view(state.params, batch)
         float(jnp.sum(rgb) + jnp.sum(depth))
-    dt_render = (time.perf_counter() - t0) / n_frames
+        rtimes.append(time.perf_counter() - t0)
+    dt_render = float(np.median(rtimes))
     render_rays_per_sec = H * W / dt_render
 
     value = train_rays_per_sec
