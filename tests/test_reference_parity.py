@@ -42,9 +42,13 @@ REF = "/root/reference"
 
 
 def import_reference():
-    """Import the reference package with CPU shims installed."""
+    """Import the reference package with CPU shims installed.
+
+    APPEND to sys.path (not insert): the reference root also contains
+    ``train.py``/``opt.py`` which would otherwise shadow our repo-root
+    modules for every test that runs after this one."""
     if REF not in sys.path:
-        sys.path.insert(0, REF)
+        sys.path.append(REF)
 
     if "inplace_abn" not in sys.modules:
         iabn = types.ModuleType("inplace_abn")

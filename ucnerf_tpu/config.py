@@ -124,6 +124,12 @@ class Config:
     # midpoint renders are reproducible); turn on for reference-parity runs.
     eval_jitter: bool = False
 
+    # featurization path: True = per-ray column-gather fast path
+    # (render/fast_feats.py, fp-equal to the literal formulation, tested);
+    # False = the literal reference formulation (render/renderer.py).
+    # Exists mainly so convergence A/B tests can pin either path.
+    fast_featurization: bool = True
+
     # precision
     mvs_dtype: str = "float32"        # compute dtype for the MVS cascade
     nerf_dtype: str = "bfloat16"      # NeRF MLP matmul dtype (params f32);

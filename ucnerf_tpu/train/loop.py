@@ -78,11 +78,17 @@ def make_optimizer(cfg: Config, steps_per_epoch: int):
     sched = make_lr_schedule(cfg, steps_per_epoch)
     tx = optax.adam(sched, b1=0.9, b2=0.999)
     if cfg.finetune is not None:
-        # freeze the MVS ("Consistency Learner") parameters
-        def mask_fn(params):
-            return {"nerf": jax.tree.map(lambda _: True, params["nerf"]),
-                    "mvs": jax.tree.map(lambda _: False, params["mvs"])}
-        tx = optax.masked(tx, mask_fn)
+        # freeze the MVS ("Consistency Learner") parameters; everything
+        # else (nerf, optional appearance table) keeps training.
+        # NOTE: optax.masked is the WRONG tool here — it passes masked-out
+        # leaves' updates through UNCHANGED (raw gradients would be applied
+        # to the "frozen" tree); multi_transform + set_to_zero freezes.
+        def labels(params):
+            return {k: jax.tree.map(
+                lambda _: "freeze" if k == "mvs" else "train", v)
+                for k, v in params.items()}
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, labels)
     return tx
 
 
@@ -141,7 +147,8 @@ def forward_scene(cfg: Config, nerf, mvs, params, batch, key,
     rgb, depth = render_rays(nerf_apply, rays, mvs_out, confidence,
                              imgs[1:], batch["w2cs"][1:],
                              batch["intrinsics"][1:], batch["w2cs"][0],
-                             white_bkgd=cfg.white_bkgd)
+                             white_bkgd=cfg.white_bkgd,
+                             fast=cfg.fast_featurization)
     return rgb, depth, rays, mvs_out
 
 
@@ -253,6 +260,7 @@ def view_chunk_fns(cfg: Config, nerf, H: int, W: int, ctx: Dict):
                            ctx["confidence"], ctx["imgs_src"],
                            ctx["w2cs"][1:], ctx["intrinsics"][1:],
                            ctx["w2cs"][0], white_bkgd=cfg.white_bkgd,
+                           fast=cfg.fast_featurization,
                            feat_ctx=ctx["feat_ctx"])
 
     return build_chunk, render_chunk
