@@ -73,7 +73,27 @@ def main():
         state, metrics = step(state, batch, sub)
         float(metrics["loss"])
         times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+    dt_single = float(np.median(times))
+
+    # The production train loop dispatches steps_per_dispatch steps per
+    # host call (train.py; lax.scan — amortizes the ~32 ms tunnel
+    # dispatch).  The headline number measures that path.
+    from ucnerf_tpu.train.loop import make_train_step_scan
+    K = cfg.steps_per_dispatch
+    sstep = make_train_step_scan(cfg, nerf, mvs, tx)
+    batches = jax.tree.map(lambda x: jnp.stack([x] * K), batch)
+    for _ in range(WARMUP):
+        key, sub = jax.random.split(key)
+        state, metrics = sstep(state, batches, jax.random.split(sub, K))
+        float(metrics["loss"])
+    times = []
+    for _ in range(ITERS):
+        key, sub = jax.random.split(key)
+        t0 = time.perf_counter()
+        state, metrics = sstep(state, batches, jax.random.split(sub, K))
+        float(metrics["loss"])
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times)) / K
     train_rays_per_sec = cfg.n_train_rays / dt
 
     # eval render path — same median methodology as the train step.
@@ -112,6 +132,8 @@ def main():
         "vs_baseline": round(value / baseline, 3),
         "extra": {
             "train_step_ms": round(dt * 1e3, 2),
+            "train_step_ms_single_dispatch": round(dt_single * 1e3, 2),
+            "steps_per_dispatch": cfg.steps_per_dispatch,
             "render_rays_per_sec": round(render_rays_per_sec, 1),
             "render_frame_ms": round(dt_render * 1e3, 2),
             "device": str(jax.devices()[0]),

@@ -183,3 +183,37 @@ def test_encode_a_table_trains_and_is_harmless(cfg, dataset):
     n0 = jax.tree.leaves(params["nerf"])[0]
     n1 = jax.tree.leaves(statef.params["nerf"])[0]
     assert np.abs(np.asarray(n0) - np.asarray(n1)).max() > 0
+
+
+def test_scan_steps_match_sequential(cfg, dataset):
+    """make_train_step_scan(K) == K sequential make_train_step calls."""
+    from ucnerf_tpu.train.loop import make_train_step_scan
+
+    K = 3
+    samples = [dataset[i] for i in range(K)]
+    nerf, mvs = create_models(cfg)
+    params = init_params(cfg, jax.random.PRNGKey(0), (32, 64))
+    tx = make_optimizer(cfg, steps_per_epoch=len(dataset))
+    keys = jax.random.split(jax.random.PRNGKey(5), K)
+
+    state_a = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step = make_train_step(cfg, nerf, mvs, tx)
+    for i in range(K):
+        state_a, metrics_a = step(state_a, to_device_batch(samples[i]),
+                                  keys[i])
+
+    state_b = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    sstep = make_train_step_scan(cfg, nerf, mvs, tx)
+    stacked = to_device_batch(
+        jax.tree.map(lambda *xs: np.stack(xs), *samples))
+    state_b, metrics_b = sstep(state_b, stacked, keys)
+
+    assert int(state_b.step) == K
+    np.testing.assert_allclose(float(metrics_a["loss"]),
+                               float(metrics_b["loss"]), rtol=1e-5)
+    # scan-context compilation reorders fp ops vs the standalone step;
+    # near-zero gradients then flip sign under Adam (update ~ lr*sign(g)),
+    # so elements can differ by ~lr — same bound as test_parallel uses.
+    for a, b in zip(jax.tree.leaves(state_a.params),
+                    jax.tree.leaves(state_b.params)):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() <= 3 * cfg.lrate

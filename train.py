@@ -180,6 +180,9 @@ def main(argv=None):
             return pstep(state, batch, keys)
     else:
         step = make_train_step(cfg, nerf, mvs, tx)
+        if cfg.steps_per_dispatch > 1:
+            from ucnerf_tpu.train.loop import make_train_step_scan
+            step_scan = make_train_step_scan(cfg, nerf, mvs, tx)
 
     ckpt_dir = os.path.join(cfg.basedir, cfg.expname, "ckpts")
     from ucnerf_tpu.utils.profiling import RateMeter, trace
@@ -207,31 +210,61 @@ def main(argv=None):
                 return shard_scene_batch(b, mesh)
             loader = ThreadPrefetcher(
                 (lambda g=g: load_group(g) for g in groups), depth=2)
+        elif cfg.steps_per_dispatch > 1:
+            # K steps per dispatch (lax.scan): group the epoch order,
+            # stacking K samples per host call; the tail that doesn't fill
+            # a group runs as single steps.
+            K = cfg.steps_per_dispatch
+            n_groups = len(order) // K
+
+            def load_item(idxs):
+                samples = [train_ds[int(j)] for j in idxs]
+                if len(samples) == 1:
+                    return ("one", to_device_batch(samples[0]))
+                stacked = jax.tree.map(lambda *xs: np.stack(xs), *samples)
+                return ("scan", to_device_batch(stacked))
+            items = [order[i * K:(i + 1) * K] for i in range(n_groups)]
+            items += [[j] for j in order[n_groups * K:]]
+            loader = ThreadPrefetcher(
+                (lambda g=g: load_item(g) for g in items), depth=2)
         else:
             loader = ThreadPrefetcher(
-                (lambda i=i: to_device_batch(train_ds[int(i)])
+                (lambda i=i: ("one", to_device_batch(train_ds[int(i)]))
                  for i in order), depth=2)
         for batch in loader:
             key, sub = jax.random.split(key)
             if n_par > 1:
                 sub = jax.random.split(sub, n_par)
                 batch = (batch, sub)
-            if cfg.profile_dir and global_step == 10:
+                n_steps = 1
+                run = lambda: step(state, batch, sub)
+            else:
+                kind, payload = batch
+                if kind == "scan":
+                    n_steps = cfg.steps_per_dispatch
+                    subs = jax.random.split(sub, n_steps)
+                    run = lambda: step_scan(state, payload, subs)
+                else:
+                    n_steps = 1
+                    run = lambda: step(state, payload, sub)
+            if (cfg.profile_dir
+                    and global_step <= 10 < global_step + n_steps + 1):
                 with trace(cfg.profile_dir):
-                    state, metrics = step(state, batch, sub)
+                    state, metrics = run()
                     jax.block_until_ready(metrics)
             else:
-                state, metrics = step(state, batch, sub)
-            meter.update(cfg.n_train_rays)
-            global_step += 1
-            if global_step % 50 == 0:
+                state, metrics = run()
+            meter.update(cfg.n_train_rays * n_steps)
+            prev = global_step
+            global_step += n_steps
+            if global_step // 50 != prev // 50:
                 m = jax.tree.map(float, metrics)
                 writer.write(global_step,
                              {f"train/{k}": v for k, v in m.items()})
                 print(f"step {global_step} epoch {epoch} "
                       f"loss {m['loss']:.4f} psnr {m['psnr']:.2f} "
                       f"rays/s {meter.rate:,.0f}")
-            if global_step % 5000 == 4999:
+            if global_step // 5000 != prev // 5000:
                 checkpoint_io.save_checkpoint(ckpt_dir, state, global_step)
         if (epoch + 1) % cfg.val_every_epochs == 0:
             validator(state.params, global_step)

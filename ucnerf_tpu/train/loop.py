@@ -154,7 +154,49 @@ def forward_scene(cfg: Config, nerf, mvs, params, batch, key,
 
 def make_train_step(cfg: Config, nerf, mvs, tx):
     """Build the jitted single-scene train step."""
+    loss_fn = _make_loss_fn(cfg, nerf, mvs)
 
+    @jax.jit
+    def train_step(state: TrainState, batch, key):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, key)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
+def make_train_step_scan(cfg: Config, nerf, mvs, tx):
+    """K training steps per dispatch via ``lax.scan``.
+
+    The axon/TPU dispatch overhead is ~32 ms per synced host call
+    (BASELINE.md); scanning K steps inside one jit amortizes it to 32/K ms
+    per step and batches the host->device sample transfers.  Semantically
+    identical to K sequential ``make_train_step`` calls (tested).
+
+    ``batches``: sample pytree stacked on a leading [K] axis;
+    ``keys``: [K] PRNG keys.  Returns the final state and the LAST step's
+    metrics (matching what a sequential loop would report).
+    """
+    loss_fn = _make_loss_fn(cfg, nerf, mvs)
+
+    @jax.jit
+    def train_steps(state: TrainState, batches, keys):
+        def one(st, bk):
+            b, k = bk
+            (_, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(st.params, b, k)
+            updates, opt_state = tx.update(grads, st.opt_state, st.params)
+            params = optax.apply_updates(st.params, updates)
+            return TrainState(params, opt_state, st.step + 1), metrics
+        state, ms = jax.lax.scan(one, state, (batches, keys))
+        return state, jax.tree.map(lambda x: x[-1], ms)
+
+    return train_steps
+
+
+def _make_loss_fn(cfg: Config, nerf, mvs):
     def loss_fn(params, batch, key):
         rgb, depth, rays, mvs_out = forward_scene(cfg, nerf, mvs, params,
                                                   batch, key, train=True)
@@ -178,15 +220,7 @@ def make_train_step(cfg: Config, nerf, mvs, tx):
             n_rays_fixed=n_fixed)
         return loss, metrics
 
-    @jax.jit
-    def train_step(state: TrainState, batch, key):
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, key)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), metrics
-
-    return train_step
+    return loss_fn
 
 
 def prepare_view_ctx(cfg: Config, nerf, mvs, params, batch) -> Dict:
