@@ -139,3 +139,28 @@ def test_init_params_tree(tiny_cfg):
     n = sum(x.size for x in jax.tree.leaves(params["nerf"]))
     m = sum(x.size for x in jax.tree.leaves(params["mvs"]))
     assert n > 10_000 and m > 100_000
+
+
+def test_homo_warp_packed_bit_identical():
+    """pack>1 warp gathers (ops/warp.py) are bit-identical to pack=1."""
+    import jax
+    import jax.numpy as jnp
+    from ucnerf_tpu.ops.warp import homo_warp
+
+    src = jax.random.normal(jax.random.PRNGKey(0), (64, 80, 8))
+    proj = jnp.eye(3, 4) + 1e-2 * jax.random.normal(jax.random.PRNGKey(1),
+                                                    (3, 4))
+    dvals = jnp.broadcast_to(jnp.linspace(0.8, 2.5, 6)[:, None, None],
+                             (6, 64, 80))
+    w1, m1 = homo_warp(src, proj, dvals, pad=0)
+    for pack in (2, 4, 8):
+        wp, mp = homo_warp(src, proj, dvals, pad=0, pack=pack)
+        assert float(jnp.abs(w1 - wp).max()) == 0.0, pack
+        assert float(jnp.abs(m1 - mp).max()) == 0.0, pack
+    # padded target grid too
+    dvals_p = jnp.broadcast_to(jnp.linspace(0.8, 2.5, 6)[:, None, None],
+                               (6, 68, 84))
+    w1, m1 = homo_warp(src, proj, dvals_p, pad=2)
+    wp, mp = homo_warp(src, proj, dvals_p, pad=2, pack=4)
+    assert float(jnp.abs(w1 - wp).max()) == 0.0
+    assert float(jnp.abs(m1 - mp).max()) == 0.0

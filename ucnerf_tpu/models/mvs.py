@@ -124,13 +124,19 @@ def _variance_cost_volume(src_feats, projs, depth_values, pad: int):
 
     src_feats [V, H, W, C]; projs [V, 3, 4]; depth_values [D, H_pad, W_pad].
     Returns variance [D, H_pad, W_pad, C] (reference ``mvs_models.py:608-625``).
+
+    The warp gathers use pack-4 rows for narrow channels (C=8, i.e. stage
+    3): 4x fewer issue-bound gather/scatter rows, bit-identical result —
+    measured 1.5x faster fwd+bwd at stage 3, a loss at C>=16 (ops/warp.py).
     """
-    V = src_feats.shape[0]
+    V, _, W, C = src_feats.shape
+    pack = 4 if (C <= 8 and W % 4 == 0) else 1
     vol_sum = 0.0
     vol_sq_sum = 0.0
     mask_sum = jnp.ones_like(depth_values)  # the reference's extra +1 slice
     for i in range(V):
-        warped, mask = homo_warp(src_feats[i], projs[i], depth_values, pad=pad)
+        warped, mask = homo_warp(src_feats[i], projs[i], depth_values,
+                                 pad=pad, pack=pack)
         vol_sum = vol_sum + warped
         vol_sq_sum = vol_sq_sum + warped * warped
         mask_sum = mask_sum + mask

@@ -19,10 +19,12 @@ on the normalized coordinate).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
-def homo_warp(src_feat, proj_mat, depth_values, pad: int = 0):
+def homo_warp(src_feat, proj_mat, depth_values, pad: int = 0,
+              pack: int = 1):
     """Warp one source feature map into the target frustum's plane sweep.
 
     Args:
@@ -31,11 +33,13 @@ def homo_warp(src_feat, proj_mat, depth_values, pad: int = 0):
       depth_values: [D, H_pad, W_pad] per-pixel depth hypotheses in the
         target frame (already padded if pad > 0).
       pad: target-frustum padding in pixels (reference ``utils/utils.py:1117``).
-
-    Returns:
-      warped: [D, H_pad, W_pad, C]
-      in_mask: [D, H_pad, W_pad] float, 1 where the source projection is
-        strictly inside the image.
+      pack: gather ``pack`` adjacent source pixels per row and select the
+        nearest one with a one-hot einsum — TPU gathers (and their scatter
+        adjoints) are issue-bound per ROW, so pack-N cuts the row count Nx
+        at the price of Nx wider rows + a select.  Bit-identical to pack=1
+        (tested).  Measured: pays only for narrow channels — pack=4 at C=8
+        is 1.5x faster fwd+bwd; wider C loses (rows leave the issue-bound
+        sweet spot).  Requires W % pack == 0.
     """
     H, W = src_feat.shape[:2]
     D, H_pad, W_pad = depth_values.shape
@@ -65,8 +69,23 @@ def homo_warp(src_feat, proj_mat, depth_values, pad: int = 0):
     # nearest + border: unnormalize back (align_corners=True), round-half-even
     ix = jnp.clip(jnp.round((gx + 1.0) * 0.5 * (W - 1)), 0, W - 1)
     iy = jnp.clip(jnp.round((gy + 1.0) * 0.5 * (H - 1)), 0, H - 1)
-    idx = (iy.astype(jnp.int32) * W + ix.astype(jnp.int32))  # [D, H_pad, W_pad]
+    ixi = ix.astype(jnp.int32)
+    iyi = iy.astype(jnp.int32)
 
+    if pack > 1:
+        assert W % pack == 0, (W, pack)
+        C = src_feat.shape[-1]
+        packed = src_feat.reshape(H * (W // pack), pack * C)
+        pidx = iyi * (W // pack) + ixi // pack
+        rows = jnp.take(packed, pidx, axis=0)    # [D,Hp,Wp,pack*C]
+        rows = rows.reshape(D, H_pad, W_pad, pack, C)
+        # one-hot select, not take_along_axis (which lowers to a second
+        # per-element gather storm)
+        onehot = jax.nn.one_hot(ixi % pack, pack, dtype=src_feat.dtype)
+        warped = jnp.einsum("dhwp,dhwpc->dhwc", onehot, rows)
+        return warped, in_mask.astype(src_feat.dtype)
+
+    idx = iyi * W + ixi                                      # [D, H_pad, W_pad]
     flat = src_feat.reshape(H * W, -1)
     warped = jnp.take(flat, idx, axis=0)                     # [D,H_pad,W_pad,C]
     return warped, in_mask.astype(src_feat.dtype)
