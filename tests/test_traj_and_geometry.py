@@ -114,3 +114,19 @@ def test_ray_aabb():
     # ray pointing away: the slab interval lies behind the origin (both
     # negative), like the reference's dda (data/ray_utils.py:143-150)
     assert float(tmax[1, 0]) < 0
+
+
+def test_render_path_cli_smoke(tmp_path):
+    """render_path.py end-to-end on the synthetic scene (2 frames, npz)."""
+    import numpy as np
+    import render_path as rp
+
+    out = str(tmp_path / "path.npz")
+    rp.main(["--traj", "interp", "--n_frames", "2", "--out", out,
+             "--dataset_name", "synthetic", "--view_num", "4",
+             "--N_samples", "9", "--batch_size", "80", "--patch_size", "4",
+             "--patch_num", "4", "--n_depth_rays", "32", "--chunk", "256"])
+    data = np.load(out)
+    assert data["rgb"].shape == (2, 32, 64, 3)
+    assert data["depth"].shape == (2, 32, 64)
+    assert np.isfinite(data["rgb"]).all()
