@@ -72,6 +72,53 @@ def test_colmap_roundtrip(model_dir):
     np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-8)
 
 
+def test_colmap_text_roundtrip(model_dir, tmp_path):
+    """.txt write -> read reproduces the binary model exactly (repr floats
+    round-trip), and read_model auto-detects the format."""
+    cams_b, images_b, points_b = colmap.read_model(
+        os.path.join(model_dir, "sparse", "0"))
+
+    txt_dir = str(tmp_path / "text_model")
+    colmap.write_model(cams_b, images_b, points_b, txt_dir, ext=".txt")
+    assert colmap.detect_model_format(txt_dir) == ".txt"
+    cams_t, images_t, points_t = colmap.read_model(txt_dir)
+
+    assert cams_t.keys() == cams_b.keys()
+    for k in cams_b:
+        a, b = cams_t[k], cams_b[k]
+        assert (a.model, a.width, a.height) == (b.model, b.width, b.height)
+        np.testing.assert_array_equal(a.params, b.params)
+    assert images_t.keys() == images_b.keys()
+    for k in images_b:
+        a, b = images_t[k], images_b[k]
+        assert a.name == b.name and a.camera_id == b.camera_id
+        np.testing.assert_array_equal(a.qvec, b.qvec)
+        np.testing.assert_array_equal(a.tvec, b.tvec)
+        np.testing.assert_array_equal(a.xys, b.xys)
+        np.testing.assert_array_equal(a.point3D_ids, b.point3D_ids)
+    assert points_t.keys() == points_b.keys()
+    for k in points_b:
+        a, b = points_t[k], points_b[k]
+        np.testing.assert_array_equal(a.xyz, b.xyz)
+        np.testing.assert_array_equal(a.rgb, b.rgb)
+        assert a.error == b.error
+        np.testing.assert_array_equal(a.image_ids, b.image_ids)
+        np.testing.assert_array_equal(a.point2D_idxs, b.point2D_idxs)
+
+    # binary preferred when both formats coexist (COLMAP convention)
+    colmap.write_model(cams_b, images_b, points_b, txt_dir, ext=".bin")
+    assert colmap.detect_model_format(txt_dir) == ".bin"
+
+
+def test_image_name_with_spaces_text(tmp_path):
+    im = colmap.Image(7, np.array([1.0, 0, 0, 0]), np.zeros(3), 1,
+                      "frame 000 left.png", np.zeros((0, 2)),
+                      np.zeros((0,), np.int64))
+    colmap.write_images_text({7: im}, tmp_path / "images.txt")
+    back = colmap.read_images_text(tmp_path / "images.txt")
+    assert back[7].name == "frame 000 left.png"
+
+
 def test_gen_poses_and_pipeline(model_dir):
     arr = gen_poses(model_dir)
     assert arr.shape == (4, 17)
