@@ -77,6 +77,24 @@ def test_resize_trilinear_matches_torch(rng, out_dhw):
     np.testing.assert_allclose(ours[..., 0], ref, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("out_hw", [(384, 480), (9, 13), (256, 320)])
+def test_resize_bicubic_matches_torch(rng, out_hw):
+    """a=-0.75 bicubic (the DPT pre/post resample, ADVICE r2) == torch
+    ``interpolate(mode='bicubic', align_corners=False)`` up AND down."""
+    from ucnerf_tpu.ops.interpolate import resize_bicubic
+    H, W, C = 32, 40, 3
+    x = rng.standard_normal((H, W, C)).astype(np.float32)
+    ours = np.asarray(resize_bicubic(jnp.asarray(x), out_hw))
+    ref = F.interpolate(torch.from_numpy(x).permute(2, 0, 1)[None],
+                        size=out_hw, mode="bicubic",
+                        align_corners=False)[0].permute(1, 2, 0).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=5e-5)
+    # 2D map form (the DPT depth output path)
+    ours2 = np.asarray(resize_bicubic(jnp.asarray(x[..., 0]), out_hw,
+                                      h_axis=-2, w_axis=-1))
+    np.testing.assert_allclose(ours2, ref[..., 0], rtol=1e-4, atol=5e-5)
+
+
 def test_resize_nearest_matches_torch(rng):
     x = rng.standard_normal((10, 14, 2)).astype(np.float32)
     for out_hw in [(20, 28), (5, 7), (13, 3)]:

@@ -330,10 +330,13 @@ def load_dpt(weights_path=None, metric: bool = True):
     being loaded via the `norm` key if present, defaulting to 0.5/0.5).
 
     Inference protocol matches the reference (``run_monodepth.py:88-114``):
-    the image is resized to the 384-grid via ``dpt_input_size`` (cubic),
-    the net runs at that resolution, the metric conversion is applied (the
-    reference bakes scale/shift/invert into ``DPTDepthModel``), and the
-    depth map is bicubically upsampled back to the input resolution.
+    the image is resized to the 384-grid via ``dpt_input_size`` with an
+    a=-0.75 bicubic (the kernel cv2 INTER_CUBIC uses for the input resize;
+    ``ops.interpolate.resize_bicubic``, torch-parity-tested), the net runs
+    at that resolution, the metric conversion is applied (the reference
+    bakes scale/shift/invert into ``DPTDepthModel``), and the depth map is
+    bicubically upsampled back to the input resolution (torch bicubic,
+    also a=-0.75).
     """
     if weights_path is None:
         weights_path = os.environ.get("UCNERF_DPT_WEIGHTS",
@@ -354,17 +357,19 @@ def load_dpt(weights_path=None, metric: bool = True):
 
     fwd = jax.jit(lambda img: dpt_forward(params, img))
 
+    from ucnerf_tpu.ops.interpolate import resize_bicubic
+
     def predict(img01):
         x = jnp.asarray(img01, jnp.float32)
         H, W = x.shape[:2]
         net_h, net_w = dpt_input_size(H, W)
         if (net_h, net_w) != (H, W):
-            x = jax.image.resize(x, (net_h, net_w, 3), method="cubic")
+            x = resize_bicubic(x, (net_h, net_w))
         x = (x - 0.5) / 0.5
         pred = fwd(x)
         pred = midas_to_metric_depth(pred) if metric else pred
         if (net_h, net_w) != (H, W):
-            pred = jax.image.resize(pred, (H, W), method="cubic")
+            pred = resize_bicubic(pred, (H, W), h_axis=-2, w_axis=-1)
         return np.asarray(pred)
 
     return predict

@@ -79,6 +79,51 @@ def resize_nearest(x, out_hw, h_axis: int = -3, w_axis: int = -2):
     return x
 
 
+def _cubic_weight_matrix(in_size: int, out_size: int, a: float = -0.75):
+    """Dense [out, in] resampling matrix for Keys cubic convolution.
+
+    a=-0.75 is the kernel both torch ``interpolate(mode='bicubic',
+    align_corners=False)`` and cv2 ``INTER_CUBIC`` use (jax.image.resize's
+    'cubic' uses a=-0.5 — different pixels).  Half-pixel source rule,
+    edge-replicated taps.  Built in numpy at trace time: static shapes, and
+    the resize itself becomes one matmul per axis (MXU) instead of gathers.
+    """
+    import numpy as np
+    scale = in_size / out_size
+    src = scale * (np.arange(out_size, dtype=np.float64) + 0.5) - 0.5
+    i0 = np.floor(src).astype(np.int64)
+    t = src - i0
+    W = np.zeros((out_size, in_size), np.float32)
+    rows = np.arange(out_size)
+    for k in range(-1, 3):
+        x = np.abs(t - k)
+        w = np.where(
+            x <= 1, (a + 2) * x ** 3 - (a + 3) * x ** 2 + 1,
+            np.where(x < 2, a * (x ** 3 - 5 * x ** 2 + 8 * x - 4), 0.0))
+        np.add.at(W, (rows, np.clip(i0 + k, 0, in_size - 1)), w)
+    return W
+
+
+def _resize_axis_cubic(x, axis: int, out_size: int):
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    W = jnp.asarray(_cubic_weight_matrix(in_size, out_size))
+    x = jnp.moveaxis(x, axis, -1)
+    x = x @ W.T
+    return jnp.moveaxis(x, -1, axis)
+
+
+def resize_bicubic(x, out_hw, h_axis: int = -3, w_axis: int = -2):
+    """Bicubic (a=-0.75) resize matching torch bicubic / cv2 INTER_CUBIC
+    (align_corners=False, no antialias).  Default axes fit ``[..., H, W, C]``;
+    pass ``h_axis=-2, w_axis=-1`` for ``[..., H, W]`` maps."""
+    nd = x.ndim
+    x = _resize_axis_cubic(x, h_axis % nd, out_hw[0])
+    x = _resize_axis_cubic(x, w_axis % nd, out_hw[1])
+    return x
+
+
 def upsample2x_nearest(x, h_axis: int = -3, w_axis: int = -2):
     """Nearest x2 upsample == repeat-2 along H and W (torch scale_factor=2)."""
     nd = x.ndim
