@@ -24,6 +24,26 @@ import numpy as np
 import pytest
 
 
+def _build_native_lib():
+    """Build native/libcolmap_fast.so once so the C++ bit-match test runs in
+    the stock suite instead of silently skipping (needs only g++/make)."""
+    import shutil
+    import subprocess
+
+    native_dir = os.path.join(os.path.dirname(__file__), "..", "native")
+    so = os.path.join(native_dir, "libcolmap_fast.so")
+    if os.path.exists(so) or shutil.which("make") is None:
+        return
+    try:
+        subprocess.run(["make", "-C", native_dir], check=True,
+                       capture_output=True, timeout=120)
+    except (subprocess.SubprocessError, OSError):
+        pass  # the native test skips with a clear message
+
+
+_build_native_lib()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -166,14 +166,33 @@ def main(argv=None):
         state = checkpoint_io.load_checkpoint(cfg.ckpt, state)
         print(f"resumed full train state at step {int(state.step)}")
 
-    if n_par > 1:
-        # scene-data-parallel training over the device mesh (SURVEY §2.4)
-        from ucnerf_tpu.parallel.sharding import (make_parallel_train_step,
-                                                  replicate_state,
-                                                  shard_scene_batch,
-                                                  stack_batches)
+    if n_par > 1 and cfg.parallel_mode == "rays":
+        # ray-data-parallel: one scene/step (the reference's regime), its
+        # ray batch sharded over the mesh (SURVEY §2.4(a)).  Same loader
+        # shapes as the serial path, so it reuses that branch below.
+        from ucnerf_tpu.parallel.sharding import (
+            make_parallel_train_step_rays, make_parallel_train_step_rays_scan,
+            replicate_state)
+        state = replicate_state(state, mesh)
+        step = make_parallel_train_step_rays(cfg, nerf, mvs, tx, mesh)
+        if cfg.steps_per_dispatch > 1:
+            step_scan = make_parallel_train_step_rays_scan(cfg, nerf, mvs,
+                                                           tx, mesh)
+    elif n_par > 1:
+        # scene-data-parallel: n_par scenes/step, mean-reduced gradients —
+        # an n_par-fold effective batch vs the reference (SURVEY §2.4(b);
+        # see the mesh_shape note in config.py for LR guidance).
+        if cfg.parallel_mode != "scenes":
+            raise ValueError(f"unknown parallel_mode {cfg.parallel_mode!r}"
+                             " (rays | scenes)")
+        from ucnerf_tpu.parallel.sharding import (
+            make_parallel_train_step, make_parallel_train_step_scan,
+            replicate_state, shard_scene_batch, stack_batches)
         state = replicate_state(state, mesh)
         pstep = make_parallel_train_step(cfg, nerf, mvs, tx, mesh)
+        if cfg.steps_per_dispatch > 1:
+            pstep_scan = make_parallel_train_step_scan(cfg, nerf, mvs, tx,
+                                                       mesh)
 
         def step(state, batches_keys, _key):
             batch, keys = batches_keys
@@ -192,29 +211,43 @@ def main(argv=None):
     meter = RateMeter()
     global_step = int(state.step)
     from ucnerf_tpu.utils.prefetch import ThreadPrefetcher
+    scene_dp = n_par > 1 and cfg.parallel_mode == "scenes"
+    scenes_per_step = n_par if scene_dp else 1
+    K = cfg.steps_per_dispatch
     for epoch in range(cfg.num_epochs):
         order = np.random.permutation(len(train_ds))
-        if n_par > 1:
+        if scene_dp:
             from ucnerf_tpu.parallel.sharding import (shard_scene_batch,
+                                                      shard_scene_batch_scan,
                                                       stack_batches)
             if len(order) < n_par:
                 raise ValueError(
                     f"{len(order)} train samples < mesh size {n_par}; "
                     "raise --samples_per_scene or shrink --mesh_shape")
-            groups = [order[i:i + n_par] for i in
-                      range(0, len(order) - n_par + 1, n_par)]
+            # groups of K*n_par samples run as one lax.scan dispatch of K
+            # mesh-sharded scene steps; the tail runs as single K=1 steps.
+            group = K * n_par
+            n_groups = len(order) // group if K > 1 else 0
+            items = [order[i * group:(i + 1) * group]
+                     for i in range(n_groups)]
+            tail = order[n_groups * group:]
+            items += [tail[i:i + n_par] for i in
+                      range(0, len(tail) - n_par + 1, n_par)]
 
             def load_group(g):
-                from ucnerf_tpu.parallel.mesh import make_mesh  # noqa
                 b = stack_batches([train_ds[int(j)] for j in g])
-                return shard_scene_batch(b, mesh)
+                if len(g) == n_par:
+                    return ("one", shard_scene_batch(b, mesh))
+                b = jax.tree.map(
+                    lambda x: x.reshape(K, n_par, *x.shape[1:]), b)
+                return ("scan", shard_scene_batch_scan(b, mesh))
             loader = ThreadPrefetcher(
-                (lambda g=g: load_group(g) for g in groups), depth=2)
-        elif cfg.steps_per_dispatch > 1:
+                (lambda g=g: load_group(g) for g in items), depth=2)
+        elif K > 1:
             # K steps per dispatch (lax.scan): group the epoch order,
             # stacking K samples per host call; the tail that doesn't fill
-            # a group runs as single steps.
-            K = cfg.steps_per_dispatch
+            # a group runs as single steps.  (Used by the serial AND the
+            # ray-DP path — ray-DP has the same one-scene batch shapes.)
             n_groups = len(order) // K
 
             def load_item(idxs):
@@ -233,28 +266,34 @@ def main(argv=None):
                  for i in order), depth=2)
         for batch in loader:
             key, sub = jax.random.split(key)
-            if n_par > 1:
-                sub = jax.random.split(sub, n_par)
-                batch = (batch, sub)
-                n_steps = 1
-                run = lambda: step(state, batch, sub)
-            else:
-                kind, payload = batch
+            kind, payload = batch
+            if scene_dp:
                 if kind == "scan":
-                    n_steps = cfg.steps_per_dispatch
+                    n_steps = K
+                    subs = jax.random.split(sub, K * n_par).reshape(
+                        K, n_par, -1)
+                    run = lambda: pstep_scan(state, payload, subs)
+                else:
+                    n_steps = 1
+                    subs = jax.random.split(sub, n_par)
+                    run = lambda: step(state, (payload, subs), subs)
+            else:
+                if kind == "scan":
+                    n_steps = K
                     subs = jax.random.split(sub, n_steps)
                     run = lambda: step_scan(state, payload, subs)
                 else:
                     n_steps = 1
                     run = lambda: step(state, payload, sub)
+            # trace exactly the dispatch covering step 10 for any n_steps
             if (cfg.profile_dir
-                    and global_step <= 10 < global_step + n_steps + 1):
+                    and global_step <= 10 < global_step + n_steps):
                 with trace(cfg.profile_dir):
                     state, metrics = run()
                     jax.block_until_ready(metrics)
             else:
                 state, metrics = run()
-            meter.update(cfg.n_train_rays * n_steps)
+            meter.update(cfg.n_train_rays * n_steps * scenes_per_step)
             prev = global_step
             global_step += n_steps
             if global_step // 50 != prev // 50:

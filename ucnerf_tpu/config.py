@@ -110,9 +110,22 @@ class Config:
     w_img: float = 5.0
 
     # parallelism (no reference equivalent; reference is single-GPU,
-    # train.py:433)
+    # train.py:433).  With --mesh_shape N > 1 training runs data-parallel
+    # over an N-device mesh; --parallel_mode picks the semantics:
+    # - "rays" (default): ONE scene per step, its [patches|uniform|sparse]
+    #   ray batch sharded over the mesh after a replicated MVS forward,
+    #   gradients psum'd.  Preserves the reference's 1-scene/step training
+    #   regime exactly (same batch, same objective) — N chips accelerate
+    #   the reference workload.
+    # - "scenes": N scenes per step, one per device, mean-reduced gradients.
+    #   This is an N-fold EFFECTIVE BATCH INCREASE vs the reference (fewer
+    #   optimizer steps per epoch at lower gradient variance); consider
+    #   scaling --lrate up (linear-scaling rule) and note that checkpoints
+    #   at "step K" have seen N*K scenes.  Highest throughput when scenes
+    #   are plentiful.
     mesh_shape: Tuple[int, ...] = (1,)
     mesh_axes: Tuple[str, ...] = ("data",)
+    parallel_mode: str = "rays"       # rays | scenes (see mesh_shape note)
 
     # single-device training steps executed per host dispatch (lax.scan
     # inside one jit).  The axon/TPU tunnel costs ~32 ms per synced call;

@@ -1,12 +1,18 @@
 """Device meshes and shardings.
 
 The reference has no distributed training (single GPU hard-coded,
-reference ``train.py:433``).  The TPU-native scaling axis for UC-NeRF is
-**scene-data parallelism**: each training sample is one scene tuple
-(1 target + V-1 source views), so a batch of scenes shards cleanly over the
-mesh with replicated parameters — gradients reduce over ICI via the psum
-that pjit inserts automatically for the replicated-param outer product.
-SURVEY.md §2.4 lays out this plan.
+reference ``train.py:433``).  Two TPU-native scaling axes exist here
+(SURVEY.md §2.4; built in ``parallel.sharding``):
+
+- **ray-DP** (``--parallel_mode rays``, default): one scene per step, its
+  ray batch sharded over the mesh — preserves the reference's 1-scene/step
+  training semantics exactly, so N chips accelerate the reference workload.
+- **scene-DP** (``--parallel_mode scenes``): each training sample is one
+  scene tuple (1 target + V-1 source views), so a batch of N scenes shards
+  cleanly over the mesh with replicated parameters — gradients reduce over
+  ICI via the psum pjit inserts automatically.  NOTE: N scenes/step is an
+  N-fold effective-batch increase vs the reference (LR guidance in the
+  ``mesh_shape`` note in ``config.py``).
 """
 
 from __future__ import annotations

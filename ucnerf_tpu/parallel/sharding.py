@@ -1,10 +1,23 @@
-"""Scene-data-parallel training over a device mesh.
+"""Data-parallel training over a device mesh — two semantics (SURVEY §2.4):
 
-Design (SURVEY.md §2.4): a batch of N scenes shards over the mesh 'data'
-axis; parameters and optimizer state are replicated.  The per-scene loss is
-vmapped, the mean taken across scenes, and jit + NamedSharding constraints
-let XLA insert the gradient all-reduce over ICI — no hand-written
-collectives (the pjit way, not a NCCL translation).
+**Ray-DP** (``make_parallel_train_step_rays``, §2.4(a), ``--parallel_mode
+rays``): ONE scene per step — the reference's exact training regime
+(reference ``train.py:433`` is single-GPU, 1 scene/step).  The MVS forward
+and ray build run replicated (they are ~1/3 of the step and produce the
+whole-image tensors every ray needs); the [patches|uniform|sparse] ray batch
+then shards over the mesh via ``shard_map``, each device renders its rays,
+and the loss is assembled on the gathered per-ray outputs.  Gradients of the
+replicated operands (params, MVS outputs) psum over ICI in the shard_map
+transpose.  Same batch, same objective, same trajectory as serial — N chips
+accelerate the reference workload.
+
+**Scene-DP** (``make_parallel_train_step``, §2.4(b), ``--parallel_mode
+scenes``): a batch of N scenes shards over the mesh 'data' axis; parameters
+and optimizer state are replicated.  The per-scene loss is vmapped, the mean
+taken across scenes, and jit + NamedSharding constraints let XLA insert the
+gradient all-reduce over ICI — no hand-written collectives (the pjit way,
+not a NCCL translation).  NOTE this is an N-fold effective-batch increase
+vs the reference (see the ``mesh_shape`` note in ``config.py``).
 
 The stage pyramids (dict leaves of different spatial shapes) batch fine —
 every leaf just gains a leading scene dim.
@@ -21,33 +34,13 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ucnerf_tpu.config import Config
-from ucnerf_tpu.train.loop import TrainState, forward_scene
-from ucnerf_tpu.train.losses import total_loss
+from ucnerf_tpu.train.loop import (TrainState, scene_inputs, scene_loss,
+                                   scene_loss_terms)
 
 
 def stack_batches(samples: List[Dict]) -> Dict:
     """Stack N per-scene samples into a scene-batched pytree."""
     return jax.tree.map(lambda *xs: np.stack(xs), *samples)
-
-
-def _scene_loss(cfg: Config, nerf, mvs, params, batch, key):
-    rgb, depth, rays, mvs_out = forward_scene(cfg, nerf, mvs, params, batch,
-                                              key, train=True)
-    coords = rays["pixel_coords"]
-    patch_pts = cfg.n_patch_rays
-    n_fixed = cfg.batch_size
-    dpt_patches = batch["dpt"][coords[:patch_pts, 0],
-                               coords[:patch_pts, 1]].reshape(
-        cfg.patch_num, cfg.patch_size, cfg.patch_size)
-    dcoords = coords[n_fixed:]
-    target_depths = batch["sparse_depths"][dcoords[:, 0], dcoords[:, 1]]
-    target_weights = batch["sparse_weights"][dcoords[:, 0], dcoords[:, 1]]
-    return total_loss(
-        cfg, rgb=rgb, target_rgb=rays["colors"], depth_pred=depth,
-        mvs_out=mvs_out, sparse_depth_ms=batch["sparse_depth_ms"],
-        weight_ms=batch["weight_ms"], target_depths=target_depths,
-        target_weights=target_weights, depth_ray_mask=rays["depth_ray_mask"],
-        dpt_patches=dpt_patches, n_rays_fixed=n_fixed)
 
 
 def make_parallel_train_step(cfg: Config, nerf, mvs, tx, mesh: Mesh,
@@ -62,7 +55,7 @@ def make_parallel_train_step(cfg: Config, nerf, mvs, tx, mesh: Mesh,
 
     def loss_fn(params, batch, keys):
         def one(b, k):
-            return _scene_loss(cfg, nerf, mvs, params, b, k)
+            return scene_loss(cfg, nerf, mvs, params, b, k)
         losses, metrics = jax.vmap(one)(batch, keys)
         return jnp.mean(losses), jax.tree.map(jnp.mean, metrics)
 
@@ -82,6 +75,148 @@ def make_parallel_train_step(cfg: Config, nerf, mvs, tx, mesh: Mesh,
         return TrainState(params, opt_state, state.step + 1), metrics
 
     return train_step
+
+
+def _ray_dp_loss_fn(cfg: Config, nerf, mvs, mesh: Mesh, axis: str):
+    """One-scene loss with the ray batch sharded over the mesh."""
+    from ucnerf_tpu.render.renderer import render_rays
+
+    n_dev = mesh.shape[axis]
+
+    def loss_fn(params, batch, key):
+        imgs, mvs_out, confidence, rays = scene_inputs(cfg, mvs, params,
+                                                       batch, key, train=True)
+        n = rays["rays_o"].shape[0]
+        n_pad = -(-n // n_dev) * n_dev
+
+        def pad(x):
+            if getattr(x, "ndim", 0) >= 1 and x.shape[0] == n and n_pad > n:
+                return jnp.concatenate([x, x[:n_pad - n]])
+            return x
+
+        rays_p = jax.tree.map(pad, rays)
+        specs = jax.tree.map(
+            lambda x: (P(axis, *([None] * (x.ndim - 1)))
+                       if getattr(x, "ndim", 0) >= 1 and x.shape[0] == n_pad
+                       else P()), rays_p)
+
+        def local(rays_local, params, mvs_out, confidence, imgs_src, w2cs,
+                  intrinsics):
+            def nerf_apply(pts, dirs, feats):
+                return nerf.apply({"params": params["nerf"]}, pts, dirs,
+                                  feats)
+            return render_rays(nerf_apply, rays_local, mvs_out, confidence,
+                               imgs_src, w2cs[1:], intrinsics[1:], w2cs[0],
+                               white_bkgd=cfg.white_bkgd,
+                               fast=cfg.fast_featurization)
+
+        rgb, depth = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(specs, P(), P(), P(), P(), P(), P()),
+            out_specs=(P(axis), P(axis)))(
+            rays_p, params, mvs_out, confidence, imgs[1:], batch["w2cs"],
+            batch["intrinsics"])
+        return scene_loss_terms(cfg, batch, rgb[:n], depth[:n], rays,
+                                mvs_out)
+
+    return loss_fn
+
+
+def make_parallel_train_step_rays(cfg: Config, nerf, mvs, tx, mesh: Mesh,
+                                  axis: str = "data"):
+    """Ray-data-parallel train step (SURVEY §2.4(a), ``--parallel_mode
+    rays``): one scene per step, sharded rays, psum'd gradients.  Preserves
+    the reference's 1-scene/step semantics exactly (tested serial==parallel
+    on the 8-device mesh).
+
+    batch: ONE scene sample pytree (no leading scene dim); key: one PRNG key
+    — the same signature as the serial ``make_train_step``.
+    """
+    repl = NamedSharding(mesh, P())
+    loss_fn = _ray_dp_loss_fn(cfg, nerf, mvs, mesh, axis)
+
+    @jax.jit
+    def train_step(state: TrainState, batch, key):
+        batch = jax.lax.with_sharding_constraint(
+            batch, jax.tree.map(lambda _: repl, batch))
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, key)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
+def make_parallel_train_step_rays_scan(cfg: Config, nerf, mvs, tx,
+                                       mesh: Mesh, axis: str = "data"):
+    """K ray-DP steps per dispatch via ``lax.scan`` (composes
+    ``--steps_per_dispatch`` with ``--parallel_mode rays`` so the ~32 ms
+    dispatch tax stays amortized in multi-chip training).
+
+    batches: sample pytree stacked on a leading [K] axis; keys: [K] keys.
+    Returns the final state and the LAST step's metrics, like
+    ``make_train_step_scan``.
+    """
+    repl = NamedSharding(mesh, P())
+    loss_fn = _ray_dp_loss_fn(cfg, nerf, mvs, mesh, axis)
+
+    @jax.jit
+    def train_steps(state: TrainState, batches, keys):
+        batches = jax.lax.with_sharding_constraint(
+            batches, jax.tree.map(lambda _: repl, batches))
+
+        def one(st, bk):
+            b, k = bk
+            (_, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(st.params, b, k)
+            updates, opt_state = tx.update(grads, st.opt_state, st.params)
+            params = optax.apply_updates(st.params, updates)
+            return TrainState(params, opt_state, st.step + 1), metrics
+
+        state, ms = jax.lax.scan(one, state, (batches, keys))
+        return state, jax.tree.map(lambda x: x[-1], ms)
+
+    return train_steps
+
+
+def make_parallel_train_step_scan(cfg: Config, nerf, mvs, tx, mesh: Mesh,
+                                  axis: str = "data"):
+    """K scene-DP steps per dispatch: ``lax.scan`` over K mesh-sharded scene
+    groups inside one jit (composes ``--steps_per_dispatch`` with
+    ``--parallel_mode scenes``).
+
+    batches: scene-batched pytree stacked [K, n_dev, ...]; keys: [K, n_dev].
+    """
+    batch_spec_tail = lambda x: P(None, axis, *([None] * (x.ndim - 2)))
+    repl = NamedSharding(mesh, P())
+
+    def loss_fn(params, batch, keys):
+        def one(b, k):
+            return scene_loss(cfg, nerf, mvs, params, b, k)
+        losses, metrics = jax.vmap(one)(batch, keys)
+        return jnp.mean(losses), jax.tree.map(jnp.mean, metrics)
+
+    @jax.jit
+    def train_steps(state: TrainState, batches, keys):
+        batches = jax.lax.with_sharding_constraint(
+            batches, jax.tree.map(
+                lambda x: NamedSharding(mesh, batch_spec_tail(x)), batches))
+
+        def one(st, bk):
+            b, k = bk
+            (_, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(st.params, b, k)
+            grads = jax.lax.with_sharding_constraint(
+                grads, jax.tree.map(lambda _: repl, grads))
+            updates, opt_state = tx.update(grads, st.opt_state, st.params)
+            params = optax.apply_updates(st.params, updates)
+            return TrainState(params, opt_state, st.step + 1), metrics
+
+        state, ms = jax.lax.scan(one, state, (batches, keys))
+        return state, jax.tree.map(lambda x: x[-1], ms)
+
+    return train_steps
 
 
 def make_parallel_eval_render(cfg: Config, nerf, mvs, img_hw, mesh: Mesh,
@@ -147,4 +282,15 @@ def shard_scene_batch(batch: Dict, mesh: Mesh, axis: str = "data") -> Dict:
     return jax.tree.map(
         lambda x: jax.device_put(
             x, NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1))))),
+        batch)
+
+
+def shard_scene_batch_scan(batch: Dict, mesh: Mesh,
+                           axis: str = "data") -> Dict:
+    """Shard a [K, n_dev, ...] stacked scene batch (scan dim replicated,
+    scene dim sharded) for ``make_parallel_train_step_scan``."""
+    return jax.tree.map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, P(None, axis,
+                                     *([None] * (x.ndim - 2))))),
         batch)

@@ -116,9 +116,10 @@ def _stage_planes(mvs_out, pad: int):
     return planes
 
 
-def forward_scene(cfg: Config, nerf, mvs, params, batch, key,
-                  train: bool = True):
-    """MVS forward + ray build + render for one scene sample."""
+def scene_inputs(cfg: Config, mvs, params, batch, key, train: bool = True):
+    """MVS forward + train-ray build for one scene sample — the replicated
+    prefix shared by the serial step and the ray-sharded parallel step
+    (``parallel.sharding.make_parallel_train_step_rays``)."""
     imgs_norm = batch["images"]                       # [V, H, W, 3]
     imgs = unnormalize(imgs_norm)
     near, far = batch["near_fars"][0, 0], batch["near_fars"][0, 1]
@@ -140,6 +141,14 @@ def forward_scene(cfg: Config, nerf, mvs, params, batch, key,
         patch_size=cfg.patch_size, patch_num=cfg.patch_num,
         n_uniform=cfg.n_uniform_rays, n_samples=cfg.N_samples,
         jitter=train and cfg.perturb > 0)
+    return imgs, mvs_out, confidence, rays
+
+
+def forward_scene(cfg: Config, nerf, mvs, params, batch, key,
+                  train: bool = True):
+    """MVS forward + ray build + render for one scene sample."""
+    imgs, mvs_out, confidence, rays = scene_inputs(cfg, mvs, params, batch,
+                                                   key, train)
 
     def nerf_apply(pts, dirs, feats):
         return nerf.apply({"params": params["nerf"]}, pts, dirs, feats)
@@ -196,29 +205,40 @@ def make_train_step_scan(cfg: Config, nerf, mvs, tx):
     return train_steps
 
 
+def scene_loss_terms(cfg: Config, batch, rgb, depth, rays, mvs_out):
+    """Assemble the 5-term objective from render outputs.  The ONE place the
+    objective is assembled — the serial step, the scene-DP step, and the
+    ray-DP step (``parallel.sharding``) all funnel through here."""
+    coords = rays["pixel_coords"]                # [(patch|unif|depth), 2]
+    patch_pts = cfg.n_patch_rays
+    n_fixed = cfg.batch_size
+
+    dpt_patches = batch["dpt"][coords[:patch_pts, 0],
+                               coords[:patch_pts, 1]].reshape(
+        cfg.patch_num, cfg.patch_size, cfg.patch_size)
+    dcoords = coords[n_fixed:]
+    target_depths = batch["sparse_depths"][dcoords[:, 0], dcoords[:, 1]]
+    target_weights = batch["sparse_weights"][dcoords[:, 0], dcoords[:, 1]]
+
+    return total_loss(
+        cfg, rgb=rgb, target_rgb=rays["colors"], depth_pred=depth,
+        mvs_out=mvs_out, sparse_depth_ms=batch["sparse_depth_ms"],
+        weight_ms=batch["weight_ms"], target_depths=target_depths,
+        target_weights=target_weights,
+        depth_ray_mask=rays["depth_ray_mask"], dpt_patches=dpt_patches,
+        n_rays_fixed=n_fixed)
+
+
+def scene_loss(cfg: Config, nerf, mvs, params, batch, key):
+    """Single-scene loss: forward + the 5-term objective."""
+    rgb, depth, rays, mvs_out = forward_scene(cfg, nerf, mvs, params,
+                                              batch, key, train=True)
+    return scene_loss_terms(cfg, batch, rgb, depth, rays, mvs_out)
+
+
 def _make_loss_fn(cfg: Config, nerf, mvs):
     def loss_fn(params, batch, key):
-        rgb, depth, rays, mvs_out = forward_scene(cfg, nerf, mvs, params,
-                                                  batch, key, train=True)
-        coords = rays["pixel_coords"]                # [(patch|unif|depth), 2]
-        patch_pts = cfg.n_patch_rays
-        n_fixed = cfg.batch_size
-
-        dpt_patches = batch["dpt"][coords[:patch_pts, 0],
-                                   coords[:patch_pts, 1]].reshape(
-            cfg.patch_num, cfg.patch_size, cfg.patch_size)
-        dcoords = coords[n_fixed:]
-        target_depths = batch["sparse_depths"][dcoords[:, 0], dcoords[:, 1]]
-        target_weights = batch["sparse_weights"][dcoords[:, 0], dcoords[:, 1]]
-
-        loss, metrics = total_loss(
-            cfg, rgb=rgb, target_rgb=rays["colors"], depth_pred=depth,
-            mvs_out=mvs_out, sparse_depth_ms=batch["sparse_depth_ms"],
-            weight_ms=batch["weight_ms"], target_depths=target_depths,
-            target_weights=target_weights,
-            depth_ray_mask=rays["depth_ray_mask"], dpt_patches=dpt_patches,
-            n_rays_fixed=n_fixed)
-        return loss, metrics
+        return scene_loss(cfg, nerf, mvs, params, batch, key)
 
     return loss_fn
 
