@@ -80,6 +80,11 @@ class Config:
                                       # swept on v5e: 1024 is the optimum
                                       # (225k rays/s vs 149k at 8192) — and
                                       # happens to match the reference default
+    eval_unroll: int = 8              # tile-loop unroll (lax.scan unroll=k):
+                                      # k>1 lets XLA interleave tile i+1's
+                                      # gather storm with tile i's MLP
+                                      # matmuls; v5e sweep: 348->318 ms per
+                                      # frame at k=8, plateau beyond
     finetune: Optional[str] = None    # scene name -> freeze MVS net
                                       # (reference network/models.py:249-250)
     ckpt: Optional[str] = None

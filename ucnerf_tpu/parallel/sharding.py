@@ -257,10 +257,13 @@ def make_parallel_eval_render(cfg: Config, nerf, mvs, img_hw, mesh: Mesh,
         def local(ctx, tiles_local):
             build_chunk, render_chunk = view_chunk_fns(cfg, nerf, H, W, ctx)
 
-            def body(pix):
-                return render_chunk(build_chunk(pix))
+            def body(carry, pix):
+                return carry, render_chunk(build_chunk(pix))
 
-            rgb, depth = jax.lax.map(body, tiles_local[0])
+            # scan(unroll=k) overlaps tile gathers with MLP matmuls like the
+            # single-device render_image_chunked (same sweep, BASELINE.md)
+            _, (rgb, depth) = jax.lax.scan(body, None, tiles_local[0],
+                                           unroll=cfg.eval_unroll)
             return rgb[None], depth[None]
 
         rgb, depth = jax.shard_map(

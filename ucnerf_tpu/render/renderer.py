@@ -181,24 +181,31 @@ def render_rays(nerf_apply, rays, mvs_out, confidence, imgs_src, src_w2cs,
 
 
 def render_image_chunked(build_chunk_rays, render_chunk, H: int, W: int,
-                         chunk: int):
-    """Full-image render via ``lax.map`` over fixed-size pixel tiles.
+                         chunk: int, unroll: int = 1):
+    """Full-image render via a scanned loop over fixed-size pixel tiles.
 
     ``build_chunk_rays(pixel_idx)`` -> rays pytree;
     ``render_chunk(rays)`` -> (rgb, depth).
     The pixel count is padded up to a tile multiple and cropped after
     (replaces the reference's python chunk loop, ``train.py:251-256``).
+
+    ``unroll=k`` issues k tile bodies per scan iteration so the scheduler
+    can overlap tile i+1's featurization gathers (issue-bound, not
+    bandwidth-bound) with tile i's MLP matmuls.  Swept on v5e at 320x256
+    (80 tiles of 1024): 348/337/330/318/317 ms at k=1/2/4/8/16, plateau
+    from k=8 (BASELINE.md round-3).  ``lax.scan`` handles k that does not
+    divide the tile count, so no extra padding is needed.
     """
     n = H * W
-    n_pad = (n + chunk - 1) // chunk * chunk
-    idx = jnp.arange(n_pad) % n
+    n_tiles = (n + chunk - 1) // chunk
+    idx = jnp.arange(n_tiles * chunk) % n
     tiles = idx.reshape(-1, chunk)
 
-    def body(pix):
+    def body(carry, pix):
         rays = build_chunk_rays(pix)
-        return render_chunk(rays)
+        return carry, render_chunk(rays)
 
-    rgb, depth = jax.lax.map(body, tiles)
-    rgb = rgb.reshape(n_pad, 3)[:n].reshape(H, W, 3)
-    depth = depth.reshape(n_pad)[:n].reshape(H, W)
+    _, (rgb, depth) = jax.lax.scan(body, None, tiles, unroll=unroll)
+    rgb = rgb.reshape(-1, 3)[:n].reshape(H, W, 3)
+    depth = depth.reshape(-1)[:n].reshape(H, W)
     return rgb, depth

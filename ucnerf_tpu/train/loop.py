@@ -332,7 +332,7 @@ def make_eval_render(cfg: Config, nerf, mvs, img_hw: Tuple[int, int]):
             ctx["eval_key"] = (jax.random.PRNGKey(0) if key is None else key)
         build_chunk, render_chunk = view_chunk_fns(cfg, nerf, H, W, ctx)
         rgb, depth = render_image_chunked(build_chunk, render_chunk, H, W,
-                                          cfg.chunk)
+                                          cfg.chunk, unroll=cfg.eval_unroll)
         return jnp.clip(rgb, 0.0, 1.0), depth, ctx["confidence"]
 
     return render_view
