@@ -66,6 +66,22 @@ def test_orbax_roundtrip(tmp_path, params):
     assert int(restored.step) == 7
 
 
+def test_orbax_async_save_and_overwrite(tmp_path, params):
+    """wait=False saves commit in the background (wait_for_checkpoints
+    flushes them) and re-saving the same step overwrites instead of
+    raising — the periodic-save path of train.py."""
+    import optax
+    from ucnerf_tpu.train.loop import TrainState
+    tx = optax.adam(1e-3)
+    state = TrainState(params, tx.init(params), jnp.asarray(3, jnp.int32))
+    cio.save_checkpoint(str(tmp_path), state, 3, wait=False)
+    path = cio.save_checkpoint(str(tmp_path), state, 3, wait=False)
+    cio.wait_for_checkpoints()
+    restored = cio.load_checkpoint(path, state)
+    _trees_equal(state.params, restored.params)
+    assert int(restored.step) == 3
+
+
 def test_psnr_matches_reference_definition(rng):
     from ucnerf_tpu.eval.metrics import rgb_evaluation
     gts = rng.uniform(size=(3, 16, 24, 3)).astype(np.float32)

@@ -210,6 +210,7 @@ def main(argv=None):
                           use_wandb=cfg.log)
     meter = RateMeter()
     global_step = int(state.step)
+    last_saved = -1
     from ucnerf_tpu.utils.prefetch import ThreadPrefetcher
     scene_dp = n_par > 1 and cfg.parallel_mode == "scenes"
     scenes_per_step = n_par if scene_dp else 1
@@ -304,11 +305,18 @@ def main(argv=None):
                       f"loss {m['loss']:.4f} psnr {m['psnr']:.2f} "
                       f"rays/s {meter.rate:,.0f}")
             if global_step // 5000 != prev // 5000:
-                checkpoint_io.save_checkpoint(ckpt_dir, state, global_step)
+                # async: orbax commits in the background while training
+                # keeps dispatching; the final save below waits for all
+                checkpoint_io.save_checkpoint(ckpt_dir, state, global_step,
+                                              wait=False)
+                last_saved = global_step
         if (epoch + 1) % cfg.val_every_epochs == 0:
             validator(state.params, global_step)
 
-    checkpoint_io.save_checkpoint(ckpt_dir, state, global_step)
+    if global_step != last_saved:
+        checkpoint_io.save_checkpoint(ckpt_dir, state, global_step)
+    else:
+        checkpoint_io.wait_for_checkpoints()
     validator(state.params, global_step)
     writer.close()
 

@@ -80,11 +80,12 @@ class Config:
                                       # swept on v5e: 1024 is the optimum
                                       # (225k rays/s vs 149k at 8192) — and
                                       # happens to match the reference default
-    eval_unroll: int = 8              # tile-loop unroll (lax.scan unroll=k):
+    eval_unroll: int = 16             # tile-loop unroll (lax.scan unroll=k):
                                       # k>1 lets XLA interleave tile i+1's
                                       # gather storm with tile i's MLP
-                                      # matmuls; v5e sweep: 348->318 ms per
-                                      # frame at k=8, plateau beyond
+                                      # matmuls; two v5e sweeps: 348 (k=1)
+                                      # -> ~320 (k=8) -> ~317 ms (k=16),
+                                      # flat beyond (BASELINE.md round-3)
     finetune: Optional[str] = None    # scene name -> freeze MVS net
                                       # (reference network/models.py:249-250)
     ckpt: Optional[str] = None
@@ -134,10 +135,13 @@ class Config:
 
     # single-device training steps executed per host dispatch (lax.scan
     # inside one jit).  The axon/TPU tunnel costs ~32 ms per synced call;
-    # K=4 amortizes it to ~8 ms/step with identical training semantics
-    # (tested scan==sequential).  The epoch tail that doesn't fill a group
+    # K amortizes it (v5e sweep: 228 ms/step at K=1, 202 at K=4, 196 at
+    # K=8, 193 at K=16 — diminishing) with identical training semantics
+    # (tested scan==sequential).  K=8 is the knee; the host stages K
+    # stacked scene samples per dispatch, so very large K just buys
+    # staging memory for <2%.  The epoch tail that doesn't fill a group
     # runs with a K=1 step.  Set 1 to dispatch every step.
-    steps_per_dispatch: int = 4
+    steps_per_dispatch: int = 8
 
     # validation cadence: every N epochs.  Deviation from the reference,
     # which validates every epoch via Lightning (train.py:444-447) — set 1

@@ -23,13 +23,44 @@ import jax
 
 
 # ------------------------------------------------------------------ orbax
-def save_checkpoint(ckpt_dir: str, state, step: int):
-    import orbax.checkpoint as ocp
+_CKPTR = None
+
+
+def _checkpointer():
+    """Process-wide StandardCheckpointer (an AsyncCheckpointer underneath).
+
+    Reused across saves so periodic checkpoints commit in a background
+    thread while training keeps dispatching; a fresh instance per save
+    would serialize the directory finalize/rename on the host every time.
+    """
+    global _CKPTR
+    if _CKPTR is None:
+        import orbax.checkpoint as ocp
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
+
+
+def save_checkpoint(ckpt_dir: str, state, step: int, wait: bool = True):
+    """Save the full TrainState.  ``wait=False`` returns as soon as the
+    host copy is snapshotted (np.asarray fetch) and lets orbax commit the
+    files asynchronously — call ``wait_for_checkpoints()`` (or a final
+    ``wait=True`` save) before reading the directory or exiting.
+    """
     path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step:08d}"))
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, jax.tree.map(np.asarray, state._asdict()))
-    ckptr.wait_until_finished()
+    ckptr = _checkpointer()
+    # force=True: overwrite an existing step dir (e.g. re-saving the resume
+    # step) instead of raising
+    ckptr.save(path, jax.tree.map(np.asarray, state._asdict()), force=True)
+    if wait:
+        ckptr.wait_until_finished()
     return path
+
+
+def wait_for_checkpoints():
+    """Block until every async ``save_checkpoint(..., wait=False)`` commit
+    has finished (no-op if none are outstanding)."""
+    if _CKPTR is not None:
+        _CKPTR.wait_until_finished()
 
 
 def load_checkpoint(path: str, target_state):
