@@ -79,24 +79,44 @@ def main(argv=None):
                            ns.n_frames)
 
     render_view = make_eval_render(cfg, nerf, mvs, (H, W))
-    frames, depths = [], []
-    for i, c2w in enumerate(traj):
+
+    # Serving-path layout: the source views are fixed along the trajectory,
+    # so the big leaves (images, dpt, sparse depth) are uploaded ONCE and
+    # stay device-resident; each frame only ships the ~KB pose matrices.
+    # (The MVS cascade itself must rerun per frame — the cost volume lives
+    # in the NDC frame of the target view, reference renderer.py pipeline.)
+    base = to_device_batch(sample)
+
+    def frame_batch(c2w):
         c2w = c2w.astype(np.float32)
         w2c = np.linalg.inv(c2w).astype(np.float32)
-        s = dict(sample)
-        s["c2ws"] = sample["c2ws"].copy()
-        s["w2cs"] = sample["w2cs"].copy()
-        s["affine_mat"] = sample["affine_mat"].copy()
-        s["affine_mat_inv"] = sample["affine_mat_inv"].copy()
-        s["c2ws"][0] = c2w
-        s["w2cs"][0] = w2c
         aff, aff_inv = build_affine_mats(sc["intrinsic"], w2c)
-        s["affine_mat"][0] = aff
-        s["affine_mat_inv"][0] = aff_inv
-        rgb, depth, _ = render_view(params, to_device_batch(s))
-        frames.append(np.asarray(rgb))
-        depths.append(np.asarray(depth))
-        print(f"frame {i + 1}/{len(traj)}")
+        s = dict(base)
+        for key, row in (("c2ws", c2w), ("w2cs", w2c),
+                         ("affine_mat", aff), ("affine_mat_inv", aff_inv)):
+            arr = np.asarray(sample[key]).copy()
+            arr[0] = row
+            s[key] = jnp.asarray(arr)
+        return s
+
+    # Pipeline: dispatch frame i+1 before fetching frame i so the host
+    # transfer overlaps the device render.
+    import time
+    frames, depths = [], []
+    pending = None
+    t0 = time.perf_counter()
+    for i, c2w in enumerate(traj):
+        rgb, depth, _ = render_view(params, frame_batch(c2w))
+        if pending is not None:
+            frames.append(np.asarray(pending[0]))
+            depths.append(np.asarray(pending[1]))
+        pending = (rgb, depth)
+        print(f"frame {i + 1}/{len(traj)} dispatched")
+    frames.append(np.asarray(pending[0]))
+    depths.append(np.asarray(pending[1]))
+    dt = time.perf_counter() - t0
+    print(f"rendered {len(frames)} frames in {dt:.2f}s "
+          f"({len(frames) / dt:.2f} fps incl. first-frame warmup)")
 
     frames = np.stack(frames)
     if ns.out.endswith(".npz"):
