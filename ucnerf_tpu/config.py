@@ -42,6 +42,11 @@ class Config:
     # native scale (scared 0.25, hamlyn 1.0); a float actually applies.
     imgScale_train: Optional[float] = None
     imgScale_test: Optional[float] = None
+    img_wh: Tuple[int, ...] = ()      # synthetic-dataset render size (W H);
+                                      # empty = the dataset default (64 32).
+                                      # Lets CLI flows (train/render_path/
+                                      # bench) run the procedural scene at an
+                                      # arbitrary operating point.
     img_downscale: float = 1.0
     pad: int = 0
     view_num: int = 5                 # V: 1 target + (V-1) source views

@@ -28,4 +28,11 @@ def build_dataset(cfg, split: str):
             kw["downsample"] = scale
     if cfg.dataset_name == "finetune" and cfg.finetune:
         kw["finetune_scan"] = cfg.finetune
+    if cfg.dataset_name == "synthetic":
+        # the procedural scene must always satisfy the configured view
+        # count: sample_rate=2 keeps every other image for train, so 2V
+        # images guarantee >= V train views
+        kw["n_images"] = max(12, 2 * cfg.view_num)
+        if cfg.img_wh:
+            kw["img_wh"] = tuple(cfg.img_wh)
     return cls(cfg.datadir, **kw)
