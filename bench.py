@@ -14,10 +14,42 @@ our first measured round).
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/ucnerf_jax_cache"))
+
+
+def _device_health_check(timeout_s: int = 240):
+    """Fail fast if the TPU backend is unreachable.
+
+    The axon tunnel can wedge such that PJRT client creation blocks
+    FOREVER (observed round 3: even ``jax.devices()`` hangs in
+    ``make_c_api_client``).  Probing in a subprocess with a timeout turns
+    an infinite hang into a clean non-zero exit the driver can see.
+    Skipped on CPU (JAX_PLATFORMS=cpu) where there is no tunnel.
+    """
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            check=True, timeout=timeout_s, capture_output=True)
+    except subprocess.TimeoutExpired:
+        print(f"bench.py: device backend unreachable (jax.devices() still "
+              f"blocked after {timeout_s}s — wedged axon tunnel?); "
+              f"refusing to hang", file=sys.stderr)
+        sys.exit(1)
+    except subprocess.CalledProcessError as e:
+        print(f"bench.py: device probe failed:\n{e.stderr.decode()[-2000:]}",
+              file=sys.stderr)
+        sys.exit(1)
+
+
+_device_health_check()
 
 import jax
 import jax.numpy as jnp
