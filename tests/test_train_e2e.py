@@ -85,6 +85,27 @@ def test_eval_render_shapes(cfg, dataset):
     assert d.min() > 0
 
 
+def test_img_wh_sizes_synthetic_dataset():
+    """--img_wh W H sizes the procedural scene from the CLI, and the
+    scene always generates enough images for the configured view count
+    (2V; sample_rate=2 halves them into the train split)."""
+    from ucnerf_tpu.config import parse_config
+
+    c = parse_config(["--dataset_name", "synthetic", "--img_wh", "96", "80",
+                      "--view_num", "7"])
+    assert c.img_wh == (96, 80)
+    ds = build_dataset(c.replace(datadir=""), "train")
+    assert ds.img_wh == (96, 80)
+    s = ds[0]
+    assert s["images"].shape == (7, 80, 96, 3)
+
+    # default stays the dataset-native size
+    c0 = parse_config(["--dataset_name", "synthetic"])
+    assert c0.img_wh == ()
+    ds0 = build_dataset(c0.replace(datadir=""), "train")
+    assert ds0.img_wh == (64, 32)
+
+
 def test_lr_schedules():
     """cosine|steplr|poly all build and follow their definitions (the
     reference parses all three, opt.py:58-60, but only builds cosine —
