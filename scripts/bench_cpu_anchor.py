@@ -43,6 +43,15 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 
 import numpy as np
 
+# The axon TPU plugin's sitecustomize sets jax_platforms="axon,cpu" via
+# jax.config at interpreter start, which OVERRIDES the env var — jax then
+# initializes the axon backend anyway (and hangs/fails when the tunnel is
+# down).  Force it back before any backend initializes (same as
+# tests/conftest.py).  This is a same-host CPU anchor by definition.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -50,6 +59,10 @@ def main():
     ap.add_argument("--warmup", type=int, default=1)
     ap.add_argument("--half", action="store_true",
                     help="160x128 / V=5 reduced operating point")
+    ap.add_argument("--eval", action="store_true",
+                    help="anchor the EVAL frame (full-image render, "
+                         "validation_step protocol) instead of the train "
+                         "step")
     args_cli = ap.parse_args()
 
     import jax
@@ -94,38 +107,60 @@ def main():
     sample = ds[0]
     batch = to_device_batch(sample)
 
-    # ---------------- our side: single-jit step, f32 (bit-comparable math;
-    # the TPU default bf16 MLP would be an unfair advantage here)
+    # ---------------- our side, f32 (bit-comparable math; the TPU default
+    # bf16 MLP would be an unfair advantage here)
     tx = optax.adam(5e-4, b1=0.9, b2=0.999, eps=1e-8)
     opt_state = tx.init(params)
     rays_fn = jax.jit(
         lambda p, k: scene_inputs(cfg, mvs, p, batch, k, train=True)[3])
 
-    @jax.jit
-    def our_step(params, opt_state, key):
-        (loss, metrics), grads = jax.value_and_grad(
-            lambda p: scene_loss(cfg, nerf, mvs, p, batch, key),
-            has_aux=True)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
-
     key = jax.random.PRNGKey(7)
-    print("compiling + warming our step ...", flush=True)
-    t0 = time.perf_counter()
-    p_run, o_run = params, opt_state
-    for _ in range(args_cli.warmup):
-        key, sub = jax.random.split(key)
-        p_run, o_run, loss = our_step(p_run, o_run, sub)
-        float(loss)                         # value-fetch sync
-    print(f"  compile+warmup {time.perf_counter() - t0:.1f}s", flush=True)
-    ours = []
-    for _ in range(args_cli.steps):
-        key, sub = jax.random.split(key)
+    if args_cli.eval:
+        # full-image render, validation_step protocol (reference
+        # train.py:213-324): one MVS forward + H*W rays in chunks
+        from ucnerf_tpu.train.loop import make_eval_render
+        render_view = make_eval_render(cfg, nerf, mvs, (H, W))
+        print("compiling + warming our eval render ...", flush=True)
         t0 = time.perf_counter()
-        p_run, o_run, loss = our_step(p_run, o_run, sub)
-        float(loss)
-        ours.append(time.perf_counter() - t0)
-        print(f"  ours: {ours[-1]:.2f}s loss {float(loss):.4f}", flush=True)
+        for _ in range(args_cli.warmup):
+            rgb_j, depth_j, _ = render_view(params, batch)
+            float(jnp.sum(rgb_j) + jnp.sum(depth_j))   # value-fetch sync
+        print(f"  compile+warmup {time.perf_counter() - t0:.1f}s",
+              flush=True)
+        ours = []
+        for _ in range(args_cli.steps):
+            t0 = time.perf_counter()
+            rgb_j, depth_j, _ = render_view(params, batch)
+            float(jnp.sum(rgb_j) + jnp.sum(depth_j))
+            ours.append(time.perf_counter() - t0)
+            print(f"  ours: {ours[-1]:.2f}s", flush=True)
+    else:
+        @jax.jit
+        def our_step(params, opt_state, key):
+            (loss, metrics), grads = jax.value_and_grad(
+                lambda p: scene_loss(cfg, nerf, mvs, p, batch, key),
+                has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        print("compiling + warming our step ...", flush=True)
+        t0 = time.perf_counter()
+        p_run, o_run = params, opt_state
+        for _ in range(args_cli.warmup):
+            key, sub = jax.random.split(key)
+            p_run, o_run, loss = our_step(p_run, o_run, sub)
+            float(loss)                         # value-fetch sync
+        print(f"  compile+warmup {time.perf_counter() - t0:.1f}s",
+              flush=True)
+        ours = []
+        for _ in range(args_cli.steps):
+            key, sub = jax.random.split(key)
+            t0 = time.perf_counter()
+            p_run, o_run, loss = our_step(p_run, o_run, sub)
+            float(loss)
+            ours.append(time.perf_counter() - t0)
+            print(f"  ours: {ours[-1]:.2f}s loss {float(loss):.4f}",
+                  flush=True)
 
     # ---------------- reference side: same params through its own modules
     _t = lambda x: torch.from_numpy(np.ascontiguousarray(np.asarray(x)))
@@ -143,7 +178,9 @@ def main():
     ref_nerf.load_state_dict(
         {k: _t(v) for k, v in export_nerf_state_dict(params["nerf"]).items()},
         strict=False)
-    ref_nerf.train()
+    # eval protocol matches tests/test_reference_parity.py: cascade in train
+    # mode (live BN stats, like our per-batch semantics), MLP in eval mode
+    ref_nerf.eval() if args_cli.eval else ref_nerf.train()
     opt_t = torch.optim.Adam(
         list(ref_cas.parameters()) + list(ref_nerf.parameters()),
         lr=5e-4, betas=(0.9, 0.999), eps=1e-8)
@@ -212,31 +249,76 @@ def main():
         opt_t.step()
         return float(loss_t)
 
-    key = jax.random.PRNGKey(7)
-    rays = jax.tree.map(np.asarray, rays_fn(params, key))  # pinned batch,
-    # built OUTSIDE the reference's timed region (advantage: reference)
-    print("warming the reference step ...", flush=True)
-    for _ in range(args_cli.warmup):
-        loss_t = reference_step(rays)
-    theirs = []
-    for _ in range(args_cli.steps):
-        t0 = time.perf_counter()
-        loss_t = reference_step(rays)
-        theirs.append(time.perf_counter() - t0)
-        print(f"  reference: {theirs[-1]:.2f}s loss {loss_t:.4f}",
-              flush=True)
+    def reference_frame():
+        """Reference validation_step protocol (train.py:213-324): MVS
+        forward + all H*W rays in --chunk batches, under no_grad."""
+        with torch.no_grad():
+            _, confidence_t, _, outputs = ref_cas(
+                imgs[:, 1:], _t(sample["affine_mat"]),
+                _t(sample["affine_mat_inv"]), near_fars[0], pad=cfg.pad)
+            tgt_to_world = pose_ref["c2ws"][0]
+            world_to_ref = pose_ref["w2cs"][0]
+            intrinsic = pose_ref["intrinsics"][0]
+            rgbs = []
+            n_chunks = H * W // cfg.chunk + int(H * W % cfg.chunk > 0)
+            for ci in range(n_chunks):
+                (rays_pts, rays_dir, rays_NDC, depth_candidates, rays_o,
+                 ndc_parameters) = reference.utils.build_rays_test(
+                    H, W, tgt_to_world, world_to_ref, intrinsic, near_fars,
+                    near_fars[-1], cfg.N_samples, pad=cfg.pad,
+                    chunk=cfg.chunk, idx=ci, outputs=outputs)
+                rgb_c, _depth_c = reference.renderer.rendering(
+                    rargs, pose_ref, rays_pts, rays_NDC, depth_candidates,
+                    rays_dir, outputs, imgs_un[:, 1:],
+                    near_fars=near_fars[0],
+                    img_feat=outputs["stage3"]["img_feats"],
+                    confidence=confidence_t, ndc_parameters=ndc_parameters,
+                    network_fn=ref_nerf, network_query_fn=network_query_fn)
+                rgbs.append(rgb_c)
+            return float(torch.cat(rgbs).sum())
+
+    if args_cli.eval:
+        print("warming the reference eval frame ...", flush=True)
+        for _ in range(args_cli.warmup):
+            reference_frame()
+        theirs = []
+        for _ in range(args_cli.steps):
+            t0 = time.perf_counter()
+            reference_frame()
+            theirs.append(time.perf_counter() - t0)
+            print(f"  reference: {theirs[-1]:.2f}s", flush=True)
+    else:
+        key = jax.random.PRNGKey(7)
+        rays = jax.tree.map(np.asarray, rays_fn(params, key))  # pinned
+        # batch, built OUTSIDE the reference's timed region (advantage:
+        # reference)
+        print("warming the reference step ...", flush=True)
+        for _ in range(args_cli.warmup):
+            loss_t = reference_step(rays)
+        theirs = []
+        for _ in range(args_cli.steps):
+            t0 = time.perf_counter()
+            loss_t = reference_step(rays)
+            theirs.append(time.perf_counter() - t0)
+            print(f"  reference: {theirs[-1]:.2f}s loss {loss_t:.4f}",
+                  flush=True)
 
     ours_med, theirs_med = float(np.median(ours)), float(np.median(theirs))
     print(json.dumps({
-        "metric": "same_cpu_train_step_speedup_vs_reference",
+        "metric": ("same_cpu_eval_frame_speedup_vs_reference"
+                   if args_cli.eval else
+                   "same_cpu_train_step_speedup_vs_reference"),
         "value": round(theirs_med / ours_med, 3),
         "unit": "x",
         "extra": {
             "operating_point": "half" if args_cli.half else "full",
             "img_hw": [H, W], "views": V,
-            "rays": int(cfg.n_train_rays), "samples": cfg.N_samples,
-            "ours_s_per_step": round(ours_med, 3),
-            "reference_s_per_step": round(theirs_med, 3),
+            "rays": (H * W if args_cli.eval else int(cfg.n_train_rays)),
+            "samples": cfg.N_samples,
+            ("ours_s_per_frame" if args_cli.eval else "ours_s_per_step"):
+                round(ours_med, 3),
+            ("reference_s_per_frame" if args_cli.eval
+             else "reference_s_per_step"): round(theirs_med, 3),
             "torch_threads": torch.get_num_threads(),
             "cpu_count": os.cpu_count(),
         }}))
