@@ -227,7 +227,7 @@ def make_parallel_eval_render(cfg: Config, nerf, mvs, img_hw, mesh: Mesh,
 
     The per-view context (MVS forward + featurization inputs) is computed
     replicated; the pixel tiles shard over the mesh axis via ``shard_map``,
-    each device lax.maps its local tiles, and the frame reassembles from the
+    each device scans its local tiles (unroll=cfg.eval_unroll), and the frame reassembles from the
     sharded output (XLA inserts the gather on host fetch — no collective in
     the hot loop).
     """

@@ -17,7 +17,7 @@ helpers in ``utils/utils.py``:
   computation (kept, though opacity ignores it) -> alpha compositing.
 
 The reference's ``netchunk``/``chunk`` python loops are replaced by full-batch
-XLA ops; full-image eval uses ``jax.lax.map`` over fixed-size ray tiles to
+XLA ops; full-image eval uses ``lax.scan(unroll=k)`` over fixed-size ray tiles to
 bound VMEM/HBM while staying on-device.
 """
 

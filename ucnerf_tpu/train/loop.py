@@ -322,7 +322,7 @@ def view_chunk_fns(cfg: Config, nerf, H: int, W: int, ctx: Dict):
 
 def make_eval_render(cfg: Config, nerf, mvs, img_hw: Tuple[int, int]):
     """Full-image eval render (reference ``validation_step``,
-    ``train.py:213-324``): one MVS forward, then lax.map over ray tiles."""
+    ``train.py:213-324``): one MVS forward, then a tile scan (lax.scan, unroll=cfg.eval_unroll) over ray tiles."""
     H, W = img_hw
 
     @jax.jit
