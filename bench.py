@@ -53,6 +53,10 @@ _device_health_check()
 
 import jax
 import jax.numpy as jnp
+
+from ucnerf_tpu.utils.platform import honor_jax_platforms_env
+
+honor_jax_platforms_env()  # an explicit JAX_PLATFORMS env var wins
 import numpy as np
 
 from ucnerf_tpu.config import Config

@@ -19,6 +19,10 @@ import sys
 
 import numpy as np
 
+from ucnerf_tpu.utils.platform import honor_jax_platforms_env
+
+honor_jax_platforms_env()  # an explicit JAX_PLATFORMS env var wins
+
 
 def cmd_colmap(ns):
     from ucnerf_tpu.data.colmap_wrapper import imgs2poses

@@ -22,6 +22,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ucnerf_tpu.utils.platform import honor_jax_platforms_env
+
+honor_jax_platforms_env()  # an explicit JAX_PLATFORMS env var wins
+
 from ucnerf_tpu.config import parse_config
 from ucnerf_tpu.data import build_dataset
 from ucnerf_tpu.data.base import build_affine_mats

@@ -26,6 +26,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ucnerf_tpu.utils.platform import honor_jax_platforms_env
+
+honor_jax_platforms_env()  # an explicit JAX_PLATFORMS env var wins
+
 from ucnerf_tpu.config import Config, parse_config
 from ucnerf_tpu.data import build_dataset
 from ucnerf_tpu.eval.lpips import load_lpips
@@ -133,6 +137,10 @@ def main(argv=None):
         from ucnerf_tpu.utils.profiling import enable_debug_nans
         enable_debug_nans()
     key = jax.random.PRNGKey(cfg.seed)
+    # seed the HOST rng too (epoch shuffles) so a whole run is reproducible
+    # from --seed, like the reference's startup seeding (train.py:420-421);
+    # the device side is already keyed from cfg.seed above
+    np.random.seed(cfg.seed % 2**32)
 
     train_ds = build_dataset(cfg, "train")
     H, W = train_ds.img_wh[1], train_ds.img_wh[0]
