@@ -82,6 +82,26 @@ def test_orbax_async_save_and_overwrite(tmp_path, params):
     assert int(restored.step) == 3
 
 
+def test_checkpoint_retention(tmp_path, params):
+    """keep=N prunes to the newest N step dirs (async saves included);
+    keep=0 keeps everything (the reference's behavior)."""
+    import optax
+    from ucnerf_tpu.train.loop import TrainState
+    tx = optax.adam(1e-3)
+    state = TrainState(params, tx.init(params), jnp.asarray(0, jnp.int32))
+    for step in (1, 2, 3):
+        cio.save_checkpoint(str(tmp_path), state, step, wait=False, keep=0)
+    cio.wait_for_checkpoints()
+    assert sorted(os.listdir(tmp_path)) == [
+        "step_00000001", "step_00000002", "step_00000003"]
+    path = cio.save_checkpoint(str(tmp_path), state, 4, keep=2)
+    assert sorted(d for d in os.listdir(tmp_path)
+                  if d.startswith("step_")) == [
+        "step_00000003", "step_00000004"]
+    restored = cio.load_checkpoint(path, state)
+    _trees_equal(state.params, restored.params)
+
+
 def test_psnr_matches_reference_definition(rng):
     from ucnerf_tpu.eval.metrics import rgb_evaluation
     gts = rng.uniform(size=(3, 16, 24, 3)).astype(np.float32)

@@ -316,13 +316,15 @@ def main(argv=None):
                 # async: orbax commits in the background while training
                 # keeps dispatching; the final save below waits for all
                 checkpoint_io.save_checkpoint(ckpt_dir, state, global_step,
-                                              wait=False)
+                                              wait=False,
+                                              keep=cfg.keep_ckpts)
                 last_saved = global_step
         if (epoch + 1) % cfg.val_every_epochs == 0:
             validator(state.params, global_step)
 
     if global_step != last_saved:
-        checkpoint_io.save_checkpoint(ckpt_dir, state, global_step)
+        checkpoint_io.save_checkpoint(ckpt_dir, state, global_step,
+                                      keep=cfg.keep_ckpts)
     else:
         checkpoint_io.wait_for_checkpoints()
     validator(state.params, global_step)

@@ -94,6 +94,9 @@ class Config:
     finetune: Optional[str] = None    # scene name -> freeze MVS net
                                       # (reference network/models.py:249-250)
     ckpt: Optional[str] = None
+    keep_ckpts: int = 0               # prune to the newest N step_* dirs
+                                      # (0 = keep all, like the reference's
+                                      # 5000-step .tar dumps, train.py:404)
     eval: bool = False
 
     # rendering (reference opt.py:34, 73-95)

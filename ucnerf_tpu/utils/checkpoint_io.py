@@ -40,14 +40,30 @@ def _checkpointer():
     return _CKPTR
 
 
-def save_checkpoint(ckpt_dir: str, state, step: int, wait: bool = True):
+def save_checkpoint(ckpt_dir: str, state, step: int, wait: bool = True,
+                    keep: int = 0):
     """Save the full TrainState.  ``wait=False`` returns as soon as the
     host copy is snapshotted (np.asarray fetch) and lets orbax commit the
     files asynchronously — call ``wait_for_checkpoints()`` (or a final
     ``wait=True`` save) before reading the directory or exiting.
+
+    ``keep > 0`` prunes the oldest ``step_*`` dirs so at most ``keep``
+    remain after this save (0 = keep all, the reference's behavior —
+    it never deletes its 5000-step ``.tar`` dumps, ``train.py:404-413``).
+    Pruning happens BEFORE the new save is issued, after draining any
+    in-flight async commit, so a half-written directory is never touched.
     """
     path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step:08d}"))
     ckptr = _checkpointer()
+    if keep > 0:
+        ckptr.wait_until_finished()       # never prune an in-flight commit
+        old = sorted(d for d in os.listdir(ckpt_dir)
+                     if re.fullmatch(r"step_\d{8}", d)
+                     and os.path.isdir(os.path.join(ckpt_dir, d))
+                     and os.path.abspath(os.path.join(ckpt_dir, d)) != path)
+        import shutil
+        for d in old[:max(0, len(old) - (keep - 1))]:
+            shutil.rmtree(os.path.join(ckpt_dir, d), ignore_errors=True)
     # force=True: overwrite an existing step dir (e.g. re-saving the resume
     # step) instead of raising
     ckptr.save(path, jax.tree.map(np.asarray, state._asdict()), force=True)
