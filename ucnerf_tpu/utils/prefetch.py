@@ -16,6 +16,7 @@ class ThreadPrefetcher:
 
     def __init__(self, thunks, depth: int = 2):
         self._q = queue.Queue(maxsize=depth)
+        self._err = None
         self._thread = threading.Thread(target=self._run, args=(thunks,),
                                         daemon=True)
         self._thread.start()
@@ -24,12 +25,16 @@ class ThreadPrefetcher:
         try:
             for thunk in thunks:
                 self._q.put(thunk())
-        finally:
+        except BaseException as e:  # re-raised on the consumer thread —
+            self._err = e           # a swallowed loader error would silently
+        finally:                    # truncate the epoch
             self._q.put(self._DONE)
 
     def __iter__(self):
         while True:
             item = self._q.get()
             if item is self._DONE:
+                if self._err is not None:
+                    raise self._err
                 return
             yield item
