@@ -12,7 +12,9 @@ import numpy as np
 
 def read_array(path):
     """COLMAP dense map: 'width&height&channels&' text header + f32 data,
-    stored column-major per channel (reference ``read_write_dense.py:40``)."""
+    stored row-major per channel plane ([c][h][w], w fastest — reference
+    ``read_write_dense.py:40``: F-order reshape to (W,H,C) then (1,0,2)
+    transpose)."""
     with open(path, "rb") as fh:
         header = b""
         amps = 0
@@ -28,13 +30,16 @@ def read_array(path):
 
 
 def write_array(arr, path):
+    """Inverse of :func:`read_array` (reference ``read_write_dense.py:58``:
+    transpose to (W,H,C) then F-order flatten — i.e. the stream walks w
+    fastest, then h, then c == C-order flatten of (C,H,W))."""
     arr = np.asarray(arr, np.float32)
     if arr.ndim == 2:
         arr = arr[..., None]
     h, w, c = arr.shape
     with open(path, "wb") as fh:
         fh.write(f"{w}&{h}&{c}&".encode())
-        np.transpose(arr, (1, 0, 2)).astype(np.float32).tofile(fh)
+        np.ascontiguousarray(np.transpose(arr, (2, 0, 1))).tofile(fh)
 
 
 def read_fused(ply_path, vis_path=None):
