@@ -132,6 +132,41 @@ def test_ray_dp_matches_serial_8dev(tiny):
         assert np.abs(np.asarray(a) - np.asarray(b)).max() <= 3 * cfg.lrate
 
 
+def test_ray_dp_pads_non_divisible_ray_counts(tiny):
+    """Ray-DP when the ray count does NOT divide the mesh: 85+64+32=181
+    rays over 8 devices exercises the pad-and-truncate branch of
+    ``_ray_dp_loss_fn`` (every other test uses divisible counts).  Must
+    still equal the serial step exactly — padded duplicate rays are
+    truncated before the loss, so their gradients vanish."""
+    from ucnerf_tpu.parallel.mesh import make_mesh
+    from ucnerf_tpu.parallel.sharding import (make_parallel_train_step_rays,
+                                              replicate_state)
+    from ucnerf_tpu.train.loop import (TrainState, make_train_step,
+                                       to_device_batch)
+
+    cfg, ds, nerf, mvs, params, tx = tiny
+    cfg = cfg.replace(batch_size=85)        # model is batch-size-agnostic
+    assert cfg.n_train_rays % 8 != 0, cfg.n_train_rays
+    key = jax.random.PRNGKey(11)
+    sample = ds[0]
+
+    state_s = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step_s = make_train_step(cfg, nerf, mvs, tx)
+    state_s, m_s = step_s(state_s, to_device_batch(sample), key)
+
+    mesh = make_mesh((8,), ("data",))
+    state_p = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    state_p = replicate_state(state_p, mesh)
+    step_p = make_parallel_train_step_rays(cfg, nerf, mvs, tx, mesh)
+    state_p, m_p = step_p(state_p, to_device_batch(sample), key)
+
+    np.testing.assert_allclose(float(m_s["loss"]), float(m_p["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state_s.params),
+                    jax.tree.leaves(state_p.params)):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() <= 3 * cfg.lrate
+
+
 def test_scene_dp_8dev_grads_match_vmap_serial():
     """The 8-way psum path computes the SAME gradients as a single-device
     vmap-serial evaluation of the same 8-scene batch (same keys) — direct
