@@ -68,7 +68,6 @@ def main(argv=None):
         if cfg.ckpt.endswith((".tar", ".ckpt", ".pth")):
             params = checkpoint_io.convert_reference_checkpoint(cfg.ckpt)
         else:
-            import optax
             from ucnerf_tpu.train.loop import TrainState, make_optimizer
             tx = make_optimizer(cfg, steps_per_epoch=1)
             target = TrainState(params, tx.init(params),

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import json
 import os
-import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/ucnerf_jax_cache"))
@@ -30,7 +29,7 @@ from ucnerf_tpu.utils.platform import honor_jax_platforms_env
 
 honor_jax_platforms_env()  # an explicit JAX_PLATFORMS env var wins
 
-from ucnerf_tpu.config import Config, parse_config
+from ucnerf_tpu.config import parse_config
 from ucnerf_tpu.data import build_dataset
 from ucnerf_tpu.eval.lpips import load_lpips
 from ucnerf_tpu.eval.metrics import depth_evaluation, rgb_evaluation

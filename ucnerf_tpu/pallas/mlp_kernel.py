@@ -16,7 +16,7 @@ same math) under XLA autodiff.
 from __future__ import annotations
 
 import functools
-from typing import List, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -25,7 +25,7 @@ every leaf just gains a leading scene dim.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

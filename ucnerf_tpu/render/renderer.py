@@ -23,7 +23,6 @@ bound VMEM/HBM while staying on-device.
 
 from __future__ import annotations
 
-from typing import Dict
 
 import jax
 import jax.numpy as jnp

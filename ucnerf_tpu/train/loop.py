@@ -13,7 +13,6 @@ zero-gradient mask (reference ``network/models.py:249-250``).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Tuple
 
 import jax

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Any, Dict
+from typing import Dict
 
 import numpy as np
 

@@ -15,7 +15,7 @@ Host-side numpy/scipy; consumed by ``render_path.py`` to render videos.
 from __future__ import annotations
 
 import numpy as np
-from scipy.interpolate import CubicSpline, splev, splprep
+from scipy.interpolate import splev, splprep
 from scipy.spatial.transform import Rotation, Slerp
 
 
