@@ -241,6 +241,9 @@ def main(argv=None):
             tail = order[n_groups * group:]
             items += [tail[i:i + n_par] for i in
                       range(0, len(tail) - n_par + 1, n_par)]
+            # the last < n_par samples of the shuffle are skipped this
+            # epoch (a different subset each epoch); scene-DP needs full
+            # device groups and the usual 200*scans epoch divides evenly
 
             def load_group(g):
                 b = stack_batches([train_ds[int(j)] for j in g])

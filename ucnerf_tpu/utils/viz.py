@@ -10,7 +10,7 @@ import numpy as np
 
 def visualize_depth(depth, minmax=None, cmap=None):
     """Depth [H, W] -> uint8 RGB colormap (jet-ish via matplotlib)."""
-    import matplotlib.cm as mcm
+    import matplotlib
     x = np.nan_to_num(np.asarray(depth, np.float32))
     if minmax is None:
         mi = np.min(x[x > 0]) if (x > 0).any() else 0.0
@@ -18,7 +18,7 @@ def visualize_depth(depth, minmax=None, cmap=None):
     else:
         mi, ma = minmax
     x = np.clip((x - mi) / (ma - mi + 1e-8), 0, 1)
-    rgba = mcm.get_cmap(cmap or "jet")(x)
+    rgba = matplotlib.colormaps[cmap or "jet"](x)
     return (rgba[..., :3] * 255).astype(np.uint8)
 
 
