@@ -119,6 +119,61 @@ def test_image_name_with_spaces_text(tmp_path):
     assert back[7].name == "frame 000 left.png"
 
 
+def test_reference_readers_parse_our_writers(model_dir, tmp_path):
+    """Strictest format gate: the reference's OWN readers
+    (colmapUtils/read_write_model.py — pure numpy, imported directly)
+    must parse models written by our binary AND text writers and see the
+    same cameras/images/points."""
+    import sys
+    ref_dir = "/root/reference/colmapUtils"
+    if not os.path.isdir(ref_dir):
+        pytest.skip("reference tree not available")
+    sys.path.insert(0, ref_dir)
+    try:
+        import read_write_model as ref_rw
+    finally:
+        sys.path.remove(ref_dir)
+
+    sparse = os.path.join(model_dir, "sparse", "0")
+    cams, images, points = colmap.read_model(sparse)
+    txt_dir = tmp_path / "txt"
+    colmap.write_model(cams, images, points, str(txt_dir), ext=".txt")
+
+    for readers, base in (
+            ((ref_rw.read_cameras_binary, ref_rw.read_images_binary,
+              ref_rw.read_points3d_binary), (sparse, ".bin")),
+            ((ref_rw.read_cameras_text, ref_rw.read_images_text,
+              ref_rw.read_points3D_text), (str(txt_dir), ".txt"))):
+        d, ext = base
+        r_cams = readers[0](os.path.join(d, "cameras" + ext))
+        r_imgs = readers[1](os.path.join(d, "images" + ext))
+        r_pts = readers[2](os.path.join(d, "points3D" + ext))
+        assert set(r_cams) == set(cams)
+        for cid, c in cams.items():
+            assert r_cams[cid].model == c.model
+            assert (r_cams[cid].width, r_cams[cid].height) == (c.width,
+                                                               c.height)
+            np.testing.assert_allclose(r_cams[cid].params, c.params)
+        assert set(r_imgs) == set(images)
+        for iid, im in images.items():
+            np.testing.assert_allclose(r_imgs[iid].qvec, im.qvec)
+            np.testing.assert_allclose(r_imgs[iid].tvec, im.tvec)
+            assert r_imgs[iid].camera_id == im.camera_id
+            assert r_imgs[iid].name == im.name
+            np.testing.assert_allclose(
+                np.asarray(r_imgs[iid].xys, np.float64),
+                np.asarray(im.xys, np.float64))
+            np.testing.assert_array_equal(
+                np.asarray(r_imgs[iid].point3D_ids, np.int64),
+                np.asarray(im.point3D_ids, np.int64))
+        assert set(r_pts) == set(points)
+        for pid, pt in points.items():
+            np.testing.assert_allclose(r_pts[pid].xyz, pt.xyz)
+            np.testing.assert_array_equal(r_pts[pid].rgb, pt.rgb)
+            np.testing.assert_allclose(float(r_pts[pid].error),
+                                       float(pt.error))
+
+
 def test_gen_poses_and_pipeline(model_dir):
     arr = gen_poses(model_dir)
     assert arr.shape == (4, 17)
