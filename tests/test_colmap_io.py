@@ -174,6 +174,57 @@ def test_reference_readers_parse_our_writers(model_dir, tmp_path):
                                        float(pt.error))
 
 
+def test_our_readers_parse_reference_writers(model_dir, tmp_path):
+    """Symmetric gate: models written by the reference's OWN writers must
+    parse with our binary and text readers."""
+    import sys
+    ref_dir = "/root/reference/colmapUtils"
+    if not os.path.isdir(ref_dir):
+        pytest.skip("reference tree not available")
+    sys.path.insert(0, ref_dir)
+    try:
+        import read_write_model as ref_rw
+    finally:
+        sys.path.remove(ref_dir)
+
+    sparse = os.path.join(model_dir, "sparse", "0")
+    cams, images, points = colmap.read_model(sparse)
+    # re-express through the reference's namedtuples
+    r_cams = {cid: ref_rw.Camera(id=cid, model=c.model, width=c.width,
+                                 height=c.height, params=c.params)
+              for cid, c in cams.items()}
+    r_imgs = {iid: ref_rw.Image(
+        id=iid, qvec=im.qvec, tvec=im.tvec, camera_id=im.camera_id,
+        name=im.name, xys=np.asarray(im.xys, np.float64),
+        point3D_ids=np.asarray(im.point3D_ids, np.int64))
+        for iid, im in images.items()}
+    r_pts = {pid: ref_rw.Point3D(
+        id=pid, xyz=pt.xyz, rgb=np.asarray(pt.rgb),
+        error=float(pt.error),
+        image_ids=np.asarray(pt.image_ids, np.int64),
+        point2D_idxs=np.asarray(pt.point2D_idxs, np.int64))
+        for pid, pt in points.items()}
+
+    for ext in (".bin", ".txt"):
+        d = tmp_path / f"ref{ext.lstrip('.')}"
+        os.makedirs(d)
+        ref_rw.write_model(r_cams, r_imgs, r_pts, str(d), ext=ext)
+        o_cams, o_imgs, o_pts = colmap.read_model(str(d), ext=ext)
+        assert set(o_cams) == set(cams) and set(o_imgs) == set(images) \
+            and set(o_pts) == set(points)
+        for cid, c in cams.items():
+            np.testing.assert_allclose(o_cams[cid].params, c.params)
+        for iid, im in images.items():
+            np.testing.assert_allclose(o_imgs[iid].qvec, im.qvec)
+            np.testing.assert_allclose(o_imgs[iid].tvec, im.tvec)
+            assert o_imgs[iid].name == im.name
+            np.testing.assert_allclose(
+                np.asarray(o_imgs[iid].xys, np.float64),
+                np.asarray(im.xys, np.float64))
+        for pid, pt in points.items():
+            np.testing.assert_allclose(o_pts[pid].xyz, pt.xyz)
+
+
 def test_gen_poses_and_pipeline(model_dir):
     arr = gen_poses(model_dir)
     assert arr.shape == (4, 17)
