@@ -225,6 +225,59 @@ def test_our_readers_parse_reference_writers(model_dir, tmp_path):
             np.testing.assert_allclose(o_pts[pid].xyz, pt.xyz)
 
 
+def test_gen_poses_matches_reference_pose_utils(model_dir, tmp_path):
+    """poses_bounds.npy from our gen_poses == the reference's own
+    load_colmap_data + save_poses (preprocess/colmap/pose_utils.py:11-92)
+    on the same model.  Caught a real deviation: the bound percentiles
+    are 0.5/99.5, not 0.1/99.9."""
+    import shutil
+    import sys
+    ref_dir = "/root/reference/preprocess/colmap"
+    if not os.path.isdir(ref_dir):
+        pytest.skip("reference tree not available")
+
+    # the reference's save_poses needs point->image visibility tracks;
+    # rebuild the fixture model with tracks derived from the image pids
+    sparse_src = os.path.join(model_dir, "sparse", "0")
+    cams, images, points = colmap.read_model(sparse_src)
+    img_ids_of = {pid: [] for pid in points}
+    for iid, im in images.items():
+        for pid in np.asarray(im.point3D_ids):
+            if pid > 0 and pid in img_ids_of:
+                img_ids_of[pid].append(iid)
+    tracked = {
+        pid: colmap.Point3D(pid, pt.xyz, pt.rgb, pt.error,
+                            np.array(img_ids_of[pid], np.int32),
+                            np.zeros(len(img_ids_of[pid]), np.int32))
+        for pid, pt in points.items() if img_ids_of[pid]}
+    scene = tmp_path / "scene"
+    colmap.write_model(cams, images, tracked, str(scene / "sparse" / "0"))
+
+    ours = gen_poses(str(scene))
+
+    # stub skimage (absent here; pose_utils only uses it in minify paths)
+    import types
+    if "skimage" not in sys.modules:
+        sk = types.ModuleType("skimage")
+        sk.transform = types.ModuleType("skimage.transform")
+        sys.modules["skimage"] = sk
+        sys.modules["skimage.transform"] = sk.transform
+    sys.path.insert(0, ref_dir)
+    try:
+        import pose_utils as ref_pu
+    finally:
+        sys.path.remove(ref_dir)
+    ref_scene = tmp_path / "ref_scene"
+    shutil.copytree(scene, ref_scene)
+    os.remove(ref_scene / "poses_bounds.npy")
+    poses, pts3d, perm = ref_pu.load_colmap_data(str(ref_scene))
+    ref_pu.save_poses(str(ref_scene), poses, pts3d, perm)
+    theirs = np.load(ref_scene / "poses_bounds.npy")
+
+    assert ours.shape == theirs.shape
+    np.testing.assert_allclose(ours, theirs, rtol=1e-10, atol=1e-12)
+
+
 def test_gen_poses_and_pipeline(model_dir):
     arr = gen_poses(model_dir)
     assert arr.shape == (4, 17)

@@ -140,7 +140,9 @@ def gen_poses(scene_dir, out_path=None):
             [m[:, 1:2], m[:, 0:1], -m[:, 2:3], m[:, 3:4],
              np.array([[h], [w], [focal]], np.float64)], axis=1)
         z = np.array(zs[k]) if zs[k] else np.array([1.0, 10.0])
-        near, far = np.percentile(z, 0.1), np.percentile(z, 99.9)
+        # the reference's exact bound percentiles (pose_utils.py:84:
+        # np.percentile(zs, .5), np.percentile(zs, 99.5))
+        near, far = np.percentile(z, 0.5), np.percentile(z, 99.5)
         rows.append(np.concatenate([m_llff.ravel(), [near, far]]))
     arr = np.stack(rows)
     if out_path is None:
