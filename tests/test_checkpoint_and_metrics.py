@@ -124,6 +124,40 @@ def test_ssim_identity_and_monotonicity(rng):
     assert a > b
 
 
+def test_depth_evaluation_matches_reference_code(rng):
+    """Our depth_evaluation == the reference's own
+    utils/evaluation.py:29-74 (median-ratio alignment, [1e-4, 100] clamp,
+    per-view compute_errors, mean) on random inputs, with and without
+    prediction masks."""
+    import sys
+    import types
+    if not os.path.isdir("/root/reference/utils"):
+        pytest.skip("reference tree not available")
+    for mod in ("lpips", "skimage"):          # absent; only needed at import
+        if mod not in sys.modules:
+            sys.modules[mod] = types.ModuleType(mod)
+    if "/root/reference" not in sys.path:
+        sys.path.append("/root/reference")
+    from utils import evaluation as ref_eval
+    from ucnerf_tpu.eval.metrics import depth_evaluation
+
+    gt = rng.uniform(0.5, 3.0, size=(4, 24, 32)).astype(np.float64)
+    gt[gt < 0.8] = 0.0                         # invalid pixels (mask)
+    pred = (gt * rng.uniform(1.2, 1.4)
+            + rng.normal(scale=0.05, size=gt.shape))
+    pred = np.abs(pred) + 1e-3
+
+    ours = np.asarray(depth_evaluation(gt, pred.copy()))
+    theirs = np.asarray(ref_eval.depth_evaluation(gt, pred.copy()))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-9)
+
+    masks = (rng.uniform(size=gt.shape) > 0.3).astype(np.float32)
+    ours_m = np.asarray(depth_evaluation(gt, pred.copy(), masks))
+    theirs_m = np.asarray(ref_eval.depth_evaluation(
+        gt, pred.copy(), pred_masks=masks))
+    np.testing.assert_allclose(ours_m, theirs_m, rtol=1e-9)
+
+
 def test_depth_evaluation_perfect_after_scaling(rng):
     from ucnerf_tpu.eval.metrics import depth_evaluation
     gt = rng.uniform(1.0, 3.0, size=(2, 16, 16)).astype(np.float32)

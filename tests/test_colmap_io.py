@@ -278,6 +278,56 @@ def test_gen_poses_matches_reference_pose_utils(model_dir, tmp_path):
     np.testing.assert_allclose(ours, theirs, rtol=1e-10, atol=1e-12)
 
 
+def test_center_poses_matches_reference_code(rng):
+    """average_poses / center_poses == the reference's own implementations
+    (data/scared.py:22-126, pure numpy — extracted by AST to avoid the
+    module's torch/cv2 import baggage), identity blender2opencv like the
+    SCARED caller."""
+    import ast
+    ref_path = "/root/reference/data/scared.py"
+    if not os.path.exists(ref_path):
+        pytest.skip("reference tree not available")
+    src = open(ref_path).read()
+    tree = ast.parse(src)
+    # scared.py defines normalize twice; like the interpreter, the LAST
+    # module-level def of each name is the one in scope
+    wanted = {}
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef) and node.name in (
+                "normalize", "average_poses", "center_poses"):
+            wanted[node.name] = node
+    ns = {"np": np}
+    for name in ("normalize", "average_poses", "center_poses"):
+        exec(compile(ast.Module(body=[wanted[name]], type_ignores=[]),
+                     ref_path, "exec"), ns)
+
+    from ucnerf_tpu.data.llff import average_poses, center_poses
+
+    # plausible c2w [R|t] stack around the origin
+    poses = []
+    for i in range(6):
+        angle = 0.2 * i - 0.5
+        R = np.array([[np.cos(angle), 0, np.sin(angle)],
+                      [0, 1, 0],
+                      [-np.sin(angle), 0, np.cos(angle)]])
+        t = rng.normal(scale=0.3, size=3)
+        poses.append(np.concatenate([R, t[:, None]], 1))
+    poses = np.stack(poses)
+
+    np.testing.assert_allclose(average_poses(poses),
+                               ns["average_poses"](poses), atol=1e-12)
+    b2o = np.array([[1, 0, 0, 0], [0, -1, 0, 0], [0, 0, -1, 0],
+                    [0, 0, 0, 1]], np.float64)  # scared.py:176
+    ours_c, ours_avg = center_poses(poses)
+    ref_c, ref_avg = ns["center_poses"](poses, b2o)
+    np.testing.assert_allclose(ours_c, ref_c, atol=1e-12)
+    # aux return: ours slices rows ([:3], a [3,4] transform), the
+    # reference slices COLUMNS ([:, :3] — scared.py:66, dropping the
+    # translation; unused downstream there); the rotation block agrees
+    np.testing.assert_allclose(np.asarray(ours_avg)[:3, :3],
+                               np.asarray(ref_avg)[:3, :3], atol=1e-12)
+
+
 def test_gen_poses_and_pipeline(model_dir):
     arr = gen_poses(model_dir)
     assert arr.shape == (4, 17)
