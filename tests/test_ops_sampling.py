@@ -172,3 +172,37 @@ def test_homo_warp_matches_reference_semantics(rng, pad):
     np.testing.assert_allclose(np.asarray(warped), ref_w, rtol=1e-4,
                                atol=1e-4)
     np.testing.assert_array_equal(np.asarray(mask), ref_m[0, 0].numpy())
+
+
+def test_sample_pdf_matches_reference_code(rng):
+    """Inverse-CDF sampling == the reference's own sample_pdf
+    (data/ray_utils.py:98-141, extracted by AST — the module's
+    kornia/network imports are irrelevant to the function) in
+    deterministic mode, where both sides use the same u grid."""
+    import ast
+    import os
+    ref_path = "/root/reference/data/ray_utils.py"
+    if not os.path.exists(ref_path):
+        import pytest
+        pytest.skip("reference tree not available")
+    tree = ast.parse(open(ref_path).read())
+    fn = next(n for n in tree.body
+              if isinstance(n, ast.FunctionDef) and n.name == "sample_pdf")
+    ns = {"torch": torch, "np": np, "searchsorted": torch.searchsorted}
+    exec(compile(ast.Module(body=[fn], type_ignores=[]), ref_path, "exec"),
+         ns)
+
+    from ucnerf_tpu.ops.sampling import sample_pdf
+
+    N, B, S = 12, 9, 17
+    bins = np.sort(rng.uniform(0.5, 3.0, size=(N, B)).astype(np.float32),
+                   axis=-1)
+    weights = rng.uniform(0.0, 1.0, size=(N, B - 1)).astype(np.float32)
+    weights[0, :3] = 0.0                       # degenerate mass corner
+
+    ours = np.asarray(sample_pdf(jnp.asarray(bins), jnp.asarray(weights),
+                                 S, det=True))
+    theirs = ns["sample_pdf"](torch.from_numpy(bins),
+                              torch.from_numpy(weights), S,
+                              det=True).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
