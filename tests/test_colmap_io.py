@@ -255,12 +255,13 @@ def test_gen_poses_matches_reference_pose_utils(model_dir, tmp_path):
 
     ours = gen_poses(str(scene))
 
-    # stub skimage (absent here; pose_utils only uses it in minify paths)
+    # stub skimage (absent here; pose_utils only uses it in minify paths).
+    # Another test may have stubbed the bare top-level module already —
+    # ensure the .transform SUBMODULE exists either way.
     import types
-    if "skimage" not in sys.modules:
-        sk = types.ModuleType("skimage")
+    sk = sys.modules.setdefault("skimage", types.ModuleType("skimage"))
+    if "skimage.transform" not in sys.modules:
         sk.transform = types.ModuleType("skimage.transform")
-        sys.modules["skimage"] = sk
         sys.modules["skimage.transform"] = sk.transform
     sys.path.insert(0, ref_dir)
     try:
