@@ -143,13 +143,16 @@ class Config:
 
     # single-device training steps executed per host dispatch (lax.scan
     # inside one jit).  The axon/TPU tunnel costs ~32 ms per synced call;
-    # K amortizes it (v5e sweep: 228 ms/step at K=1, 202 at K=4, 196 at
-    # K=8, 193 at K=16 — diminishing) with identical training semantics
-    # (tested scan==sequential).  K=8 is the knee; the host stages K
-    # stacked scene samples per dispatch, so very large K just buys
-    # staging memory for <2%.  The epoch tail that doesn't fill a group
-    # runs with a K=1 step.  Set 1 to dispatch every step.
-    steps_per_dispatch: int = 8
+    # K amortizes it (v5e sweeps: 228 ms/step at K=1, 202 at K=4, 196 at
+    # K=8, 193 at K=16) with identical training semantics (tested
+    # scan==sequential).  K=16 confirmed fastest in two independent
+    # sweeps, the second interleaving K=8/16 in one process so tunnel
+    # drift hits both equally (196.7 vs 193.9 ms — see
+    # scripts/sweep_steps_per_dispatch.py); the host stages K stacked
+    # scene samples per dispatch, so larger K buys staging memory for
+    # <1%.  The epoch tail that doesn't fill a group runs with a K=1
+    # step.  Set 1 to dispatch every step.
+    steps_per_dispatch: int = 16
 
     # validation cadence: every N epochs.  Deviation from the reference,
     # which validates every epoch via Lightning (train.py:444-447) — set 1
