@@ -44,6 +44,26 @@ def _build_native_lib():
 _build_native_lib()
 
 
+def stub_module(name: str):
+    """A module stub that is SAFE to install in sys.modules.
+
+    A bare ``types.ModuleType`` has ``__spec__ = None``, and
+    ``importlib.util.find_spec`` RAISES ValueError for a sys.modules entry
+    whose ``__spec__`` is None.  transformers probes ``torchvision`` that
+    way at import time, so a bare stub installed by an earlier test file
+    (the reference-code shims) broke ``test_dpt`` purely by test ordering.
+    Attaching a real ModuleSpec makes find_spec return normally (and
+    transformers then correctly classifies the package as unavailable
+    because it has no distribution metadata).
+    """
+    import importlib.machinery
+    import types
+
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    return mod
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -135,7 +135,8 @@ def test_depth_evaluation_matches_reference_code(rng):
         pytest.skip("reference tree not available")
     for mod in ("lpips", "skimage"):          # absent; only needed at import
         if mod not in sys.modules:
-            sys.modules[mod] = types.ModuleType(mod)
+            from conftest import stub_module
+            sys.modules[mod] = stub_module(mod)
     if "/root/reference" not in sys.path:
         sys.path.append("/root/reference")
     from utils import evaluation as ref_eval

@@ -259,9 +259,10 @@ def test_gen_poses_matches_reference_pose_utils(model_dir, tmp_path):
     # Another test may have stubbed the bare top-level module already —
     # ensure the .transform SUBMODULE exists either way.
     import types
-    sk = sys.modules.setdefault("skimage", types.ModuleType("skimage"))
+    from conftest import stub_module
+    sk = sys.modules.setdefault("skimage", stub_module("skimage"))
     if "skimage.transform" not in sys.modules:
-        sk.transform = types.ModuleType("skimage.transform")
+        sk.transform = stub_module("skimage.transform")
         sys.modules["skimage.transform"] = sk.transform
     sys.path.insert(0, ref_dir)
     try:

@@ -50,8 +50,10 @@ def import_reference():
     if REF not in sys.path:
         sys.path.append(REF)
 
+    from conftest import stub_module
+
     if "inplace_abn" not in sys.modules:
-        iabn = types.ModuleType("inplace_abn")
+        iabn = stub_module("inplace_abn")
 
         class InPlaceABN(torch.nn.Module):      # dead-code dep, never run
             def __init__(self, *a, **k):
@@ -64,8 +66,8 @@ def import_reference():
         sys.modules["inplace_abn"] = iabn
 
     if "kornia" not in sys.modules:
-        kornia = types.ModuleType("kornia")
-        kutils = types.ModuleType("kornia.utils")
+        kornia = stub_module("kornia")
+        kutils = stub_module("kornia.utils")
 
         def create_meshgrid(height, width, normalized_coordinates=True,
                             device=None, dtype=None):
@@ -84,8 +86,8 @@ def import_reference():
 
     if "torchvision" not in sys.modules:
         # only T.ToTensor is touched (viz helpers we never call)
-        tv = types.ModuleType("torchvision")
-        tvt = types.ModuleType("torchvision.transforms")
+        tv = stub_module("torchvision")
+        tvt = stub_module("torchvision.transforms")
 
         class ToTensor:
             def __call__(self, x):
@@ -98,7 +100,7 @@ def import_reference():
         sys.modules["torchvision.transforms"] = tvt
 
     if "warmup_scheduler" not in sys.modules:
-        ws = types.ModuleType("warmup_scheduler")
+        ws = stub_module("warmup_scheduler")
         ws.GradualWarmupScheduler = object   # imported, never constructed
         sys.modules["warmup_scheduler"] = ws
 
