@@ -18,9 +18,6 @@ import subprocess
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.cache/ucnerf_jax_cache"))
-
 
 def _device_health_check(timeout_s: int = 240):
     """Fail fast if the TPU backend is unreachable.
@@ -54,9 +51,11 @@ _device_health_check()
 import jax
 import jax.numpy as jnp
 
-from ucnerf_tpu.utils.platform import honor_jax_platforms_env
+from ucnerf_tpu.utils.platform import (enable_compile_cache,
+                                       honor_jax_platforms_env)
 
 honor_jax_platforms_env()  # an explicit JAX_PLATFORMS env var wins
+enable_compile_cache()     # persistent compile cache (env var overrides)
 import numpy as np
 
 from ucnerf_tpu.config import Config

@@ -14,17 +14,16 @@ from __future__ import annotations
 import argparse
 import os
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.cache/ucnerf_jax_cache"))
-
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-from ucnerf_tpu.utils.platform import honor_jax_platforms_env
+from ucnerf_tpu.utils.platform import (enable_compile_cache,
+                                       honor_jax_platforms_env)
 
 honor_jax_platforms_env()  # an explicit JAX_PLATFORMS env var wins
+enable_compile_cache()     # persistent compile cache (env var overrides)
 
 from ucnerf_tpu.config import parse_config
 from ucnerf_tpu.data import build_dataset

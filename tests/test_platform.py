@@ -22,9 +22,11 @@ from ucnerf_tpu.utils.platform import enable_compile_cache
 def restore_cache_config():
     prev = jax.config.jax_compilation_cache_dir
     prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    prev_plat = jax.config.jax_platforms
     yield
     jax.config.update("jax_compilation_cache_dir", prev)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_min)
+    jax.config.update("jax_platforms", prev_plat)
 
 
 def test_env_var_overrides_default(tmp_path, monkeypatch,
@@ -47,15 +49,34 @@ def test_empty_env_disables(monkeypatch, restore_cache_config):
 def test_default_dir_expanduser(tmp_path, monkeypatch, restore_cache_config):
     monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
     monkeypatch.setenv("HOME", str(tmp_path))
+    # this test process runs CPU-only (conftest); fake a TPU platform set
+    # to exercise the default-dir path the CLIs hit on the chip
+    jax.config.update("jax_platforms", "axon,cpu")
     used = enable_compile_cache(default_dir="~/jaxcache")
     assert used == str(tmp_path / "jaxcache")
     assert os.path.isdir(used)
+
+
+def test_cpu_only_platform_skips_default(monkeypatch, restore_cache_config):
+    """Without an explicit env var, a CPU-only platform set must NOT enable
+    the cache (XLA:CPU persists host-specific AOT code; cache value is on
+    the TPU's 20-40 s compiles)."""
+    monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+    prev = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_platforms", "cpu")
+    assert enable_compile_cache() == ""
+    assert jax.config.jax_compilation_cache_dir == prev
 
 
 def test_compiles_are_persisted(tmp_path, monkeypatch, restore_cache_config):
     """A jitted compile actually lands in the cache dir (the real contract —
     config wiring alone proved nothing when the env-var path silently
     no-opped)."""
+    # jax initializes its persistent cache AT MOST ONCE per process and
+    # ignores later dir changes; reset so this test controls the dir even
+    # when an earlier test already triggered initialization
+    from jax._src import compilation_cache
+    compilation_cache.reset_cache()
     monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path))
     enable_compile_cache()
     # tiny CPU compiles are below the default 1 s persistence threshold
