@@ -17,17 +17,16 @@ from __future__ import annotations
 import json
 import os
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.cache/ucnerf_jax_cache"))
-
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-from ucnerf_tpu.utils.platform import honor_jax_platforms_env
+from ucnerf_tpu.utils.platform import (enable_compile_cache,
+                                       honor_jax_platforms_env)
 
 honor_jax_platforms_env()  # an explicit JAX_PLATFORMS env var wins
+enable_compile_cache()     # persistent compile cache (env var overrides)
 
 from ucnerf_tpu.config import parse_config
 from ucnerf_tpu.data import build_dataset
@@ -53,8 +52,10 @@ class Validator:
         H, W = self.val_ds.img_wh[1], self.val_ds.img_wh[0]
         if mesh is not None and int(np.prod(cfg.mesh_shape)) > 1:
             from ucnerf_tpu.parallel.sharding import make_parallel_eval_render
+            # shard eval tiles over ALL mesh axes (a 2D grid mesh still
+            # uses every device for the frame render)
             self.render_view = make_parallel_eval_render(
-                cfg, nerf, mvs, (H, W), mesh)
+                cfg, nerf, mvs, (H, W), mesh, axis=tuple(mesh.axis_names))
         else:
             self.render_view = make_eval_render(cfg, nerf, mvs, (H, W))
         self._lpips_fn = None
@@ -186,20 +187,37 @@ def main(argv=None):
             step_scan = make_parallel_train_step_rays_scan(cfg, nerf, mvs,
                                                            tx, mesh)
     elif n_par > 1:
-        # scene-data-parallel: n_par scenes/step, mean-reduced gradients —
-        # an n_par-fold effective batch vs the reference (SURVEY §2.4(b);
-        # see the mesh_shape note in config.py for LR guidance).
-        if cfg.parallel_mode != "scenes":
-            raise ValueError(f"unknown parallel_mode {cfg.parallel_mode!r}"
-                             " (rays | scenes)")
+        # scene-batched modes, mean-reduced gradients — an n_scenes-fold
+        # effective batch vs the reference (SURVEY §2.4(b); see the
+        # mesh_shape note in config.py for LR guidance):
+        # - "scenes": n_par scenes/step, one scene per device;
+        # - "grid":   2D mesh (scene_axis, ray_axis) — mesh_shape[0]
+        #   scenes/step, each scene's rays sharded mesh_shape[1]-way.
         from ucnerf_tpu.parallel.sharding import (
-            make_parallel_train_step, make_parallel_train_step_scan,
+            make_parallel_train_step, make_parallel_train_step_grid,
+            make_parallel_train_step_grid_scan,
+            make_parallel_train_step_scan,
             replicate_state, shard_scene_batch, stack_batches)
         state = replicate_state(state, mesh)
-        pstep = make_parallel_train_step(cfg, nerf, mvs, tx, mesh)
-        if cfg.steps_per_dispatch > 1:
-            pstep_scan = make_parallel_train_step_scan(cfg, nerf, mvs, tx,
-                                                       mesh)
+        if cfg.parallel_mode == "scenes":
+            pstep = make_parallel_train_step(cfg, nerf, mvs, tx, mesh)
+            if cfg.steps_per_dispatch > 1:
+                pstep_scan = make_parallel_train_step_scan(cfg, nerf, mvs,
+                                                           tx, mesh)
+        elif cfg.parallel_mode == "grid":
+            if len(cfg.mesh_shape) != 2:
+                raise ValueError("--parallel_mode grid needs a 2D mesh, "
+                                 f"e.g. --mesh_shape 2 4 --mesh_axes data "
+                                 f"rays (got mesh_shape={cfg.mesh_shape})")
+            sc_ax, ray_ax = cfg.mesh_axes
+            pstep = make_parallel_train_step_grid(cfg, nerf, mvs, tx, mesh,
+                                                  sc_ax, ray_ax)
+            if cfg.steps_per_dispatch > 1:
+                pstep_scan = make_parallel_train_step_grid_scan(
+                    cfg, nerf, mvs, tx, mesh, sc_ax, ray_ax)
+        else:
+            raise ValueError(f"unknown parallel_mode {cfg.parallel_mode!r}"
+                             " (rays | scenes | grid)")
 
         def step(state, batches_keys, _key):
             batch, keys = batches_keys
@@ -219,8 +237,12 @@ def main(argv=None):
     global_step = int(state.step)
     last_saved = -1
     from ucnerf_tpu.utils.prefetch import ThreadPrefetcher
-    scene_dp = n_par > 1 and cfg.parallel_mode == "scenes"
-    scenes_per_step = n_par if scene_dp else 1
+    # scene-batched modes ("scenes": one scene per device; "grid": one
+    # scene per scene-axis row, rays sharded along the ray axis)
+    scene_dp = n_par > 1 and cfg.parallel_mode in ("scenes", "grid")
+    n_scenes = ((cfg.mesh_shape[0] if cfg.parallel_mode == "grid" else n_par)
+                if scene_dp else 1)
+    scenes_per_step = n_scenes
     K = cfg.steps_per_dispatch
     for epoch in range(cfg.num_epochs):
         order = np.random.permutation(len(train_ds))
@@ -228,29 +250,29 @@ def main(argv=None):
             from ucnerf_tpu.parallel.sharding import (shard_scene_batch,
                                                       shard_scene_batch_scan,
                                                       stack_batches)
-            if len(order) < n_par:
+            if len(order) < n_scenes:
                 raise ValueError(
-                    f"{len(order)} train samples < mesh size {n_par}; "
+                    f"{len(order)} train samples < {n_scenes} scenes/step; "
                     "raise --samples_per_scene or shrink --mesh_shape")
-            # groups of K*n_par samples run as one lax.scan dispatch of K
+            # groups of K*n_scenes samples run as one lax.scan dispatch of K
             # mesh-sharded scene steps; the tail runs as single K=1 steps.
-            group = K * n_par
+            group = K * n_scenes
             n_groups = len(order) // group if K > 1 else 0
             items = [order[i * group:(i + 1) * group]
                      for i in range(n_groups)]
             tail = order[n_groups * group:]
-            items += [tail[i:i + n_par] for i in
-                      range(0, len(tail) - n_par + 1, n_par)]
-            # the last < n_par samples of the shuffle are skipped this
+            items += [tail[i:i + n_scenes] for i in
+                      range(0, len(tail) - n_scenes + 1, n_scenes)]
+            # the last < n_scenes samples of the shuffle are skipped this
             # epoch (a different subset each epoch); scene-DP needs full
             # device groups and the usual 200*scans epoch divides evenly
 
             def load_group(g):
                 b = stack_batches([train_ds[int(j)] for j in g])
-                if len(g) == n_par:
+                if len(g) == n_scenes:
                     return ("one", shard_scene_batch(b, mesh))
                 b = jax.tree.map(
-                    lambda x: x.reshape(K, n_par, *x.shape[1:]), b)
+                    lambda x: x.reshape(K, n_scenes, *x.shape[1:]), b)
                 return ("scan", shard_scene_batch_scan(b, mesh))
             loader = ThreadPrefetcher(
                 (lambda g=g: load_group(g) for g in items), depth=2)
@@ -281,12 +303,12 @@ def main(argv=None):
             if scene_dp:
                 if kind == "scan":
                     n_steps = K
-                    subs = jax.random.split(sub, K * n_par).reshape(
-                        K, n_par, -1)
+                    subs = jax.random.split(sub, K * n_scenes).reshape(
+                        K, n_scenes, -1)
                     run = lambda: pstep_scan(state, payload, subs)
                 else:
                     n_steps = 1
-                    subs = jax.random.split(sub, n_par)
+                    subs = jax.random.split(sub, n_scenes)
                     run = lambda: step(state, (payload, subs), subs)
             else:
                 if kind == "scan":

@@ -112,6 +112,10 @@ class Config:
     N_vocab: int = 100
     N_a: int = 48
     perturb: float = 1.0
+    # accepted-but-inert in the REFERENCE's live path too (parity): the MLP
+    # hard-codes use_viewdirs=True (network/models.py:197) and rendering()
+    # never reads the use_viewdirs/raw_noise_std render_kwargs it is handed
+    # (network/models.py:274-276) — kept for CLI compatibility only.
     use_viewdirs: bool = True
     raw_noise_std: float = 0.0
     white_bkgd: bool = False
@@ -137,9 +141,14 @@ class Config:
     #   scaling --lrate up (linear-scaling rule) and note that checkpoints
     #   at "step K" have seen N*K scenes.  Highest throughput when scenes
     #   are plentiful.
+    # - "grid": the two composed on a 2D mesh — `--mesh_shape S R
+    #   --mesh_axes data rays` trains S scenes/step with each scene's rays
+    #   sharded R-way, a middle point between the S=N effective batch of
+    #   "scenes" and the S=1 of "rays" on large meshes.  Same
+    #   effective-batch/LR note as "scenes" with N = S = mesh_shape[0].
     mesh_shape: Tuple[int, ...] = (1,)
     mesh_axes: Tuple[str, ...] = ("data",)
-    parallel_mode: str = "rays"       # rays | scenes (see mesh_shape note)
+    parallel_mode: str = "rays"   # rays | scenes | grid (see mesh_shape note)
 
     # single-device training steps executed per host dispatch (lax.scan
     # inside one jit).  The axon/TPU tunnel costs ~32 ms per synced call;

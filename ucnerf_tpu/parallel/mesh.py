@@ -13,6 +13,11 @@ reference ``train.py:433``).  Two TPU-native scaling axes exist here
   ICI via the psum pjit inserts automatically.  NOTE: N scenes/step is an
   N-fold effective-batch increase vs the reference (LR guidance in the
   ``mesh_shape`` note in ``config.py``).
+- **grid** (``--parallel_mode grid --mesh_shape S R --mesh_axes data
+  rays``): the two composed on a 2D mesh — S scenes/step with each scene's
+  rays sharded R-way, so large meshes aren't forced to choose between an
+  S=n_devices effective batch (scene-DP) and S=1 (ray-DP).  Objective
+  semantics == scene-DP with S scenes/step.
 """
 
 from __future__ import annotations

@@ -219,8 +219,138 @@ def make_parallel_train_step_scan(cfg: Config, nerf, mvs, tx, mesh: Mesh,
     return train_steps
 
 
+def _grid_loss_fn(cfg: Config, nerf, mvs, mesh: Mesh, scene_axis: str,
+                  ray_axis: str):
+    """Scene-batched loss with each scene's rays sharded over ``ray_axis``.
+
+    The scene dim shards over ``scene_axis`` (like scene-DP); within every
+    scene the [patches|uniform|sparse] ray batch shards over ``ray_axis``
+    (like ray-DP).  Each (scene, ray-group) device holds one scene shard's
+    MVS outputs replicated along the ray axis and renders its ray slice;
+    the per-scene loss assembles on the gathered per-ray outputs and the
+    gradient psums over both mesh axes in the shard_map transpose.
+    """
+    from ucnerf_tpu.render.renderer import render_rays
+
+    n_ray_dev = mesh.shape[ray_axis]
+
+    def loss_fn(params, batch, keys):
+        # batch: scene-stacked pytree [S, ...]; keys: [S]
+        imgs, mvs_out, confidence, rays = jax.vmap(
+            lambda b, k: scene_inputs(cfg, mvs, params, b, k, train=True)
+        )(batch, keys)
+        n = rays["rays_o"].shape[1]
+        n_pad = -(-n // n_ray_dev) * n_ray_dev
+
+        def pad(x):
+            if getattr(x, "ndim", 0) >= 2 and x.shape[1] == n and n_pad > n:
+                return jnp.concatenate([x, x[:, :n_pad - n]], axis=1)
+            return x
+
+        rays_p = jax.tree.map(pad, rays)
+        ray_specs = jax.tree.map(
+            lambda x: (P(scene_axis, ray_axis)
+                       if getattr(x, "ndim", 0) >= 2 and x.shape[1] == n_pad
+                       else P(scene_axis)), rays_p)
+        scene_spec = lambda tree: jax.tree.map(lambda _: P(scene_axis), tree)
+
+        def local(rays_local, params, mvs_local, conf_local, imgs_src,
+                  w2cs, intrinsics):
+            def one(rays_s, mvs_s, conf_s, imgs_s, w2c_s, intr_s):
+                def nerf_apply(pts, dirs, feats):
+                    return nerf.apply({"params": params["nerf"]}, pts,
+                                      dirs, feats)
+                return render_rays(nerf_apply, rays_s, mvs_s, conf_s,
+                                   imgs_s, w2c_s[1:], intr_s[1:], w2c_s[0],
+                                   white_bkgd=cfg.white_bkgd,
+                                   fast=cfg.fast_featurization)
+            return jax.vmap(one)(rays_local, mvs_local, conf_local,
+                                 imgs_src, w2cs, intrinsics)
+
+        rgb, depth = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(ray_specs, P(), scene_spec(mvs_out), P(scene_axis),
+                      P(scene_axis), P(scene_axis), P(scene_axis)),
+            out_specs=(P(scene_axis, ray_axis), P(scene_axis, ray_axis)))(
+            rays_p, params, mvs_out, confidence, imgs[:, 1:],
+            batch["w2cs"], batch["intrinsics"])
+
+        def one_loss(b, rgb_s, depth_s, rays_s, mvs_s):
+            return scene_loss_terms(cfg, b, rgb_s, depth_s, rays_s, mvs_s)
+
+        losses, metrics = jax.vmap(one_loss)(
+            batch, rgb[:, :n], depth[:, :n], rays, mvs_out)
+        return jnp.mean(losses), jax.tree.map(jnp.mean, metrics)
+
+    return loss_fn
+
+
+def make_parallel_train_step_grid(cfg: Config, nerf, mvs, tx, mesh: Mesh,
+                                  scene_axis: str = "data",
+                                  ray_axis: str = "rays"):
+    """2D grid-parallel train step (``--parallel_mode grid``): a 2D mesh
+    ``(scene_axis, ray_axis)`` shards S scenes × R-way rays per scene —
+    scene-DP and ray-DP composed, so e.g. 8 chips can run 2 scenes/step at
+    4-way ray parallelism instead of being forced to choose 8 scenes/step
+    (scene-DP) or 1 (ray-DP).  Objective semantics == scene-DP with
+    S = mesh.shape[scene_axis] scenes/step (mean-reduced; same effective-
+    batch note as ``--parallel_mode scenes``).
+
+    batch: scene-batched pytree with leading dim == mesh.shape[scene_axis];
+    keys: [S] PRNG keys.  Same signature as ``make_parallel_train_step``.
+    """
+    repl = NamedSharding(mesh, P())
+    loss_fn = _grid_loss_fn(cfg, nerf, mvs, mesh, scene_axis, ray_axis)
+
+    @jax.jit
+    def train_step(state: TrainState, batch, keys):
+        batch = jax.lax.with_sharding_constraint(
+            batch, jax.tree.map(
+                lambda x: NamedSharding(
+                    mesh, P(scene_axis, *([None] * (x.ndim - 1)))), batch))
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, keys)
+        grads = jax.lax.with_sharding_constraint(
+            grads, jax.tree.map(lambda _: repl, grads))
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
+def make_parallel_train_step_grid_scan(cfg: Config, nerf, mvs, tx,
+                                       mesh: Mesh, scene_axis: str = "data",
+                                       ray_axis: str = "rays"):
+    """K grid steps per dispatch (composes ``--steps_per_dispatch`` with
+    ``--parallel_mode grid``).  batches: [K, S, ...]; keys: [K, S]."""
+    repl = NamedSharding(mesh, P())
+    loss_fn = _grid_loss_fn(cfg, nerf, mvs, mesh, scene_axis, ray_axis)
+
+    @jax.jit
+    def train_steps(state: TrainState, batches, keys):
+        batches = jax.lax.with_sharding_constraint(
+            batches, jax.tree.map(
+                lambda x: NamedSharding(
+                    mesh, P(None, scene_axis, *([None] * (x.ndim - 2)))),
+                batches))
+
+        def one(st, bk):
+            b, k = bk
+            (_, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(st.params, b, k)
+            updates, opt_state = tx.update(grads, st.opt_state, st.params)
+            params = optax.apply_updates(st.params, updates)
+            return TrainState(params, opt_state, st.step + 1), metrics
+
+        state, ms = jax.lax.scan(one, state, (batches, keys))
+        return state, jax.tree.map(lambda x: x[-1], ms)
+
+    return train_steps
+
+
 def make_parallel_eval_render(cfg: Config, nerf, mvs, img_hw, mesh: Mesh,
-                              axis: str = "data"):
+                              axis="data"):
     """Ray-sharded full-image eval render over the mesh (SURVEY §2.4(a)/§7
     step 7 — the TPU answer to the reference's single-device chunk loop,
     reference ``train.py:251-256``).
@@ -230,11 +360,16 @@ def make_parallel_eval_render(cfg: Config, nerf, mvs, img_hw, mesh: Mesh,
     each device scans its local tiles (unroll=cfg.eval_unroll), and the frame reassembles from the
     sharded output (XLA inserts the gather on host fetch — no collective in
     the hot loop).
+
+    ``axis`` may be one mesh axis name or a tuple of names — a tuple shards
+    the tile dim over the product of those axes, so a 2D ``grid`` training
+    mesh uses ALL its devices for the eval render too.
     """
     from ucnerf_tpu.train.loop import (prepare_view_ctx, view_chunk_fns)
 
     H, W = img_hw
-    n_dev = mesh.shape[axis]
+    axis = (axis,) if isinstance(axis, str) else tuple(axis)
+    n_dev = int(np.prod([mesh.shape[a] for a in axis]))
     repl = NamedSharding(mesh, P())
 
     @jax.jit
