@@ -80,7 +80,16 @@ def main(argv=None):
     traj = make_trajectory(ns.traj, train_c2ws, sc.get("bounds"),
                            ns.n_frames)
 
-    render_view = make_eval_render(cfg, nerf, mvs, (H, W))
+    if int(np.prod(cfg.mesh_shape)) > 1:
+        # multi-chip serving: shard each frame's pixel tiles over the full
+        # mesh (same path the validator uses, --mesh_shape N [M])
+        from ucnerf_tpu.parallel.mesh import make_mesh
+        from ucnerf_tpu.parallel.sharding import make_parallel_eval_render
+        mesh = make_mesh(tuple(cfg.mesh_shape), tuple(cfg.mesh_axes))
+        render_view = make_parallel_eval_render(
+            cfg, nerf, mvs, (H, W), mesh, axis=tuple(mesh.axis_names))
+    else:
+        render_view = make_eval_render(cfg, nerf, mvs, (H, W))
 
     # Serving-path layout: the source views are fixed along the trajectory,
     # so the big leaves (images, dpt, sparse depth) are uploaded ONCE and

@@ -130,3 +130,20 @@ def test_render_path_cli_smoke(tmp_path):
     assert data["rgb"].shape == (2, 32, 64, 3)
     assert data["depth"].shape == (2, 32, 64)
     assert np.isfinite(data["rgb"]).all()
+
+
+def test_render_path_cli_mesh_smoke(tmp_path):
+    """render_path.py with --mesh_shape 8: multi-chip serving shards each
+    frame's pixel tiles over the mesh (same render the validator uses)."""
+    import numpy as np
+    import render_path as rp
+
+    out = str(tmp_path / "path8.npz")
+    rp.main(["--traj", "interp", "--n_frames", "2", "--out", out,
+             "--dataset_name", "synthetic", "--view_num", "4",
+             "--N_samples", "9", "--batch_size", "80", "--patch_size", "4",
+             "--patch_num", "4", "--n_depth_rays", "32", "--chunk", "256",
+             "--mesh_shape", "8"])
+    data = np.load(out)
+    assert data["rgb"].shape == (2, 32, 64, 3)
+    assert np.isfinite(data["rgb"]).all()
