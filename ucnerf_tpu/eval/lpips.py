@@ -65,8 +65,11 @@ def lpips_distance(weights, img0, img1):
     t1 = feats(img1)
     total = 0.0
     for i, (a, b) in enumerate(zip(t0, t1)):
-        a = a / jnp.sqrt(jnp.sum(a * a, axis=-1, keepdims=True) + 1e-10)
-        b = b / jnp.sqrt(jnp.sum(b * b, axis=-1, keepdims=True) + 1e-10)
+        # lpips normalize_tensor adds eps=1e-10 to the NORM (outside the
+        # sqrt) — matching that exactly matters in all-channels-dead ReLU
+        # regions, where eps-inside-sqrt would inflate tiny norms 30%+
+        a = a / (jnp.sqrt(jnp.sum(a * a, axis=-1, keepdims=True)) + 1e-10)
+        b = b / (jnp.sqrt(jnp.sum(b * b, axis=-1, keepdims=True)) + 1e-10)
         d = (a - b) ** 2
         lin = weights[f"lin{i}_w"]          # [C] non-negative head
         total = total + jnp.mean(jnp.sum(d * lin, axis=-1))
