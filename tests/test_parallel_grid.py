@@ -142,6 +142,40 @@ def test_grid_scan_matches_sequential(tiny):
         assert np.abs(np.asarray(a) - np.asarray(b)).max() <= 3 * cfg.lrate
 
 
+def test_grid_cli_end_to_end(tmp_path):
+    """The train-CLI surface with --parallel_mode grid: exercises the
+    scene-batched loader with n_scenes (=2) != n_devices (=8), the scan
+    group path (K=2 -> groups of 4 samples), the 2D-mesh validator, and
+    checkpointing."""
+    import train as train_cli
+
+    train_cli.main([
+        "--dataset_name", "synthetic", "--num_epochs", "1",
+        "--samples_per_scene", "8", "--view_num", "4", "--N_samples", "9",
+        "--batch_size", "80", "--patch_size", "4", "--patch_num", "4",
+        "--chunk", "256", "--img_wh", "64", "32",
+        "--mesh_shape", "2", "4", "--mesh_axes", "data", "rays",
+        "--parallel_mode", "grid", "--steps_per_dispatch", "2",
+        "--expname", "grid_e2e", "--basedir", str(tmp_path)])
+
+    out = tmp_path / "grid_e2e"
+    assert (out / "test_results" / "rgb_evaluation.txt").exists()
+    ckpts = list((out / "ckpts").iterdir())
+    assert ckpts, "no checkpoint written"
+
+
+def test_grid_rejects_1d_mesh(tmp_path):
+    import train as train_cli
+    with pytest.raises(ValueError, match="2D mesh"):
+        train_cli.main([
+            "--dataset_name", "synthetic", "--num_epochs", "1",
+            "--samples_per_scene", "4", "--view_num", "4",
+            "--N_samples", "9", "--batch_size", "80", "--patch_size", "4",
+            "--patch_num", "4", "--chunk", "256", "--img_wh", "64", "32",
+            "--mesh_shape", "8", "--parallel_mode", "grid",
+            "--expname", "grid_bad", "--basedir", str(tmp_path)])
+
+
 def test_eval_render_on_2d_mesh_matches_single_device():
     """The eval render sharded over BOTH axes of a (2, 4) mesh (tile dim
     split over the product of the axes) == the single-device render."""
