@@ -77,6 +77,40 @@ def test_hamlyn_layout(tmp_path):
     assert ds.img_wh == (320, 256)
 
 
+def test_hamlyn_train_cli_end_to_end(tmp_path):
+    """The train_hamlyn.sh surface end-to-end on a fabricated Hamlyn-layout
+    scene (320x256 native .jpg, reference ``data/hamlyn.py:222-224,499-500``):
+    one epoch of training + validation render + checkpoint.  Completes the
+    dataset-family matrix — SCARED has the same flow above, Hamlyn only had
+    a layout test before."""
+    import train as train_cli
+
+    rng = np.random.default_rng(13)
+    root = tmp_path / "data" / "scene0"
+    os.makedirs(root / "sparse" / "0")
+    os.makedirs(root / "images")
+    cams, images_m, points = _make_model(rng, n_images=8, n_points=300)
+    colmap.write_cameras_binary(cams, root / "sparse/0/cameras.bin")
+    colmap.write_images_binary(images_m, root / "sparse/0/images.bin")
+    colmap.write_points3d_binary(points, root / "sparse/0/points3D.bin")
+    for i in range(1, 9):
+        arr = rng.integers(0, 255, (256, 320, 3)).astype("uint8")
+        Image.fromarray(arr).save(root / "images" / f"img_{i:03d}.jpg")
+    gen_poses(str(root))
+
+    train_cli.main([
+        "--dataset_name", "hamlyn", "--datadir", str(tmp_path / "data"),
+        "--num_epochs", "1", "--samples_per_scene", "2", "--view_num", "3",
+        "--N_samples", "9", "--batch_size", "80", "--patch_size", "4",
+        "--patch_num", "4", "--chunk", "512", "--imgScale_train", "0.25",
+        "--imgScale_test", "0.25", "--expname", "ham_e2e",
+        "--basedir", str(tmp_path)])
+
+    out = tmp_path / "ham_e2e"
+    assert (out / "test_results" / "rgb_evaluation.txt").exists()
+    assert list((out / "ckpts").iterdir()), "no checkpoint written"
+
+
 def test_eval_flow_on_fabricated_scene(scene_root, tmp_path, monkeypatch):
     """The eval.sh surface: train.py --eval on a real SCARED-layout scene."""
     import train as train_cli

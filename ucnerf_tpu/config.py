@@ -150,6 +150,16 @@ class Config:
     mesh_axes: Tuple[str, ...] = ("data",)
     parallel_mode: str = "rays"   # rays | scenes | grid (see mesh_shape note)
 
+    # with --parallel_mode rays, also shard the MVS cascade's per-view work
+    # (FeatureNet + plane-sweep warp/variance partial sums, psum-reduced)
+    # over the same mesh axis instead of replicating the whole cascade on
+    # every device (parallel/mvs_views.py).  Semantics-preserving like ray
+    # mode itself (equal up to float summation order; tested).  Off by
+    # default: on a SINGLE device it only adds masked padding work; turn on
+    # for real multi-chip ray-DP training, where the replicated cascade is
+    # the Amdahl bottleneck (it dominates the single-chip step profile).
+    shard_mvs_views: bool = False
+
     # single-device training steps executed per host dispatch (lax.scan
     # inside one jit).  The axon/TPU tunnel costs ~32 ms per synced call;
     # K amortizes it (v5e sweeps: 228 ms/step at K=1, 202 at K=4, 196 at

@@ -130,7 +130,7 @@ def _variance_cost_volume(src_feats, projs, depth_values, pad: int):
     measured 1.5x faster fwd+bwd at stage 3, a loss at C>=16 (ops/warp.py).
     """
     V, _, W, C = src_feats.shape
-    pack = 4 if (C <= 8 and W % 4 == 0) else 1
+    pack = warp_pack_factor(C, W)
     vol_sum = 0.0
     vol_sq_sum = 0.0
     mask_sum = jnp.ones_like(depth_values)  # the reference's extra +1 slice
@@ -163,6 +163,66 @@ def _depth_range_samples(cur_depth_hw, ndepth: int, interval, near, far):
     new_interval = (dmax - dmin) / (ndepth - 1)
     steps = jnp.arange(ndepth, dtype=cur_depth_hw.dtype)[:, None, None]
     return dmin[None] + steps * new_interval[None]
+
+
+def stage_depth_vals(depth_prev, ndepth: int, interval, near, far,
+                     H: int, W: int, h: int, w: int, stage_pad: int,
+                     depth_values_init):
+    """Depth hypotheses for one cascade stage at stage resolution (+pad):
+    the depth-range propagation block of the stage loop (reference
+    ``mvs_models.py:694-699,715-746``).  ``depth_prev`` is the previous
+    stage's full-precision depth map (None for stage 1).  Shared by
+    ``CascadeMVSNet.__call__`` and the view-sharded forward
+    (``parallel.mvs_views``)."""
+    if depth_prev is None:
+        D0 = depth_values_init.shape[0]
+        drs = jnp.broadcast_to(depth_values_init[:, None, None], (D0, H, W))
+    else:
+        cur = resize_bilinear(
+            jax.lax.stop_gradient(depth_prev)[..., None], (H, W))[..., 0]
+        drs = _depth_range_samples(cur, ndepth, interval, near, far)
+    # trilinear to stage resolution (mvs_models.py:741-746)
+    depth_vals = resize_trilinear(drs[..., None], (ndepth, h, w))[..., 0]
+    if stage_pad > 0:
+        depth_vals = jnp.pad(
+            depth_vals,
+            ((0, 0), (stage_pad, stage_pad), (stage_pad, stage_pad)),
+            mode="edge")
+    return depth_vals
+
+
+def stage_head(prob_logits, depth_vals, ndepth: int, stage_pad: int,
+               h: int, w: int):
+    """Softmax prob volume -> expectation depth + photometric confidence +
+    pad crop (reference ``mvs_models.py:632-642,735-740``).  Returns
+    ``(prob, depth_out, confidence)``.  Shared by ``CascadeMVSNet.__call__``
+    and the view-sharded forward (``parallel.mvs_views``)."""
+    prob = jax.nn.softmax(prob_logits[..., 0], axis=0)       # [D, h, w]
+    depth = jnp.sum(prob * depth_vals, axis=0)
+    # confidence stays differentiable w.r.t. prob (the reference computes
+    # it under set_grad_enabled(True), mvs_models.py:634); only the integer
+    # winner index is non-differentiable.
+    sum4 = _sliding_prob_mass4(prob)
+    idx = jnp.sum(jax.lax.stop_gradient(prob)
+                  * jnp.arange(ndepth, dtype=prob.dtype)[:, None, None],
+                  axis=0)
+    idx = jnp.clip(idx.astype(jnp.int32), 0, ndepth - 1)
+    confidence = jnp.clip(
+        jnp.take_along_axis(sum4, idx[None], axis=0)[0], 0.0, 1.0)
+    if stage_pad > 0:
+        depth_out = depth[stage_pad:h + stage_pad, stage_pad:w + stage_pad]
+        confidence = confidence[stage_pad:h + stage_pad,
+                                stage_pad:w + stage_pad]
+    else:
+        depth_out = depth
+    return prob, depth_out, confidence
+
+
+def warp_pack_factor(C: int, W: int) -> int:
+    """The measured-optimal pack factor for the plane-sweep warp gathers
+    (see ``_variance_cost_volume`` and ``ops/warp.py``): pack-4 for narrow
+    channels only."""
+    return 4 if (C <= 8 and W % 4 == 0) else 1
 
 
 class CascadeMVSNet(nn.Module):
@@ -207,26 +267,11 @@ class CascadeMVSNet(nn.Module):
             ndepth = self.ndepths[si]
             h, w = H // scale, W // scale
 
-            if depth_prev is None:
-                # [D0, H, W] constant over pixels
-                drs = jnp.broadcast_to(depth_values_init[:, None, None],
-                                       (D0, H, W))
-            else:
-                cur = resize_bilinear(
-                    jax.lax.stop_gradient(depth_prev)[..., None],
-                    (H, W))[..., 0]
-                drs = _depth_range_samples(
-                    cur, ndepth, self.depth_intervals_ratio[si]
-                    * depth_interval, near, far)
-            # trilinear to stage resolution (mvs_models.py:741-746)
-            depth_vals = resize_trilinear(drs[..., None],
-                                          (ndepth, h, w))[..., 0]
             stage_pad = pad if si == n_stages - 1 else 0
-            if stage_pad > 0:
-                depth_vals = jnp.pad(
-                    depth_vals,
-                    ((0, 0), (stage_pad, stage_pad), (stage_pad, stage_pad)),
-                    mode="edge")
+            depth_vals = stage_depth_vals(
+                depth_prev, ndepth,
+                self.depth_intervals_ratio[si] * depth_interval, near, far,
+                H, W, h, w, stage_pad, depth_values_init)
 
             aff = affine_mats[:, si]                             # [V, 4, 4]
             aff_inv_ref = affine_mats_inv[0, si]                 # target view
@@ -238,28 +283,8 @@ class CascadeMVSNet(nn.Module):
             cost_feat, prob_logits = CostRegNet(
                 self.cr_base_chs[si], self.dtype, self.folded_convs,
                 name=f"cost_reg_{si}")(variance)
-            prob = jax.nn.softmax(prob_logits[..., 0], axis=0)   # [D,h,w]
-
-            depth = jnp.sum(prob * depth_vals, axis=0)           # [h(+2p),...]
-            # confidence stays differentiable w.r.t. prob (the reference
-            # computes it under set_grad_enabled(True), mvs_models.py:634);
-            # only the integer winner index is non-differentiable.
-            sum4 = _sliding_prob_mass4(prob)
-            idx = jnp.sum(jax.lax.stop_gradient(prob)
-                          * jnp.arange(ndepth, dtype=prob.dtype)[:, None,
-                                                                 None],
-                          axis=0)
-            idx = jnp.clip(idx.astype(jnp.int32), 0, ndepth - 1)
-            confidence = jnp.clip(
-                jnp.take_along_axis(sum4, idx[None], axis=0)[0], 0.0, 1.0)
-
-            if stage_pad > 0:
-                depth_out = depth[stage_pad:h + stage_pad,
-                                  stage_pad:w + stage_pad]
-                confidence = confidence[stage_pad:h + stage_pad,
-                                        stage_pad:w + stage_pad]
-            else:
-                depth_out = depth
+            prob, depth_out, confidence = stage_head(
+                prob_logits, depth_vals, ndepth, stage_pad, h, w)
 
             outputs[f"stage{stage}"] = {
                 "depth": depth_out,

@@ -7,6 +7,9 @@ reference ``train.py:433``).  Two TPU-native scaling axes exist here
 - **ray-DP** (``--parallel_mode rays``, default): one scene per step, its
   ray batch sharded over the mesh — preserves the reference's 1-scene/step
   training semantics exactly, so N chips accelerate the reference workload.
+  ``--shard_mvs_views`` additionally shards the MVS cascade's per-view
+  work over the same axis (``parallel.mvs_views``) so the cascade — the
+  dominant, otherwise-replicated part of the step — scales too.
 - **scene-DP** (``--parallel_mode scenes``): each training sample is one
   scene tuple (1 target + V-1 source views), so a batch of N scenes shards
   cleanly over the mesh with replicated parameters — gradients reduce over

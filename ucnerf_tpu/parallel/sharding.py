@@ -78,14 +78,22 @@ def make_parallel_train_step(cfg: Config, nerf, mvs, tx, mesh: Mesh,
 
 
 def _ray_dp_loss_fn(cfg: Config, nerf, mvs, mesh: Mesh, axis: str):
-    """One-scene loss with the ray batch sharded over the mesh."""
+    """One-scene loss with the ray batch sharded over the mesh.
+
+    With ``cfg.shard_mvs_views`` the MVS cascade's per-view work (FeatureNet
+    + warp/variance partials) also shards over ``axis`` instead of running
+    replicated — see ``parallel.mvs_views``."""
     from ucnerf_tpu.render.renderer import render_rays
 
     n_dev = mesh.shape[axis]
+    mvs_apply = None
+    if cfg.shard_mvs_views:
+        from ucnerf_tpu.parallel.mvs_views import make_view_sharded_cascade
+        mvs_apply = make_view_sharded_cascade(mvs, mesh, axis)
 
     def loss_fn(params, batch, key):
-        imgs, mvs_out, confidence, rays = scene_inputs(cfg, mvs, params,
-                                                       batch, key, train=True)
+        imgs, mvs_out, confidence, rays = scene_inputs(
+            cfg, mvs, params, batch, key, train=True, mvs_apply=mvs_apply)
         n = rays["rays_o"].shape[0]
         n_pad = -(-n // n_dev) * n_dev
 
@@ -371,6 +379,10 @@ def make_parallel_eval_render(cfg: Config, nerf, mvs, img_hw, mesh: Mesh,
     axis = (axis,) if isinstance(axis, str) else tuple(axis)
     n_dev = int(np.prod([mesh.shape[a] for a in axis]))
     repl = NamedSharding(mesh, P())
+    mvs_apply = None
+    if cfg.shard_mvs_views and len(axis) == 1:
+        from ucnerf_tpu.parallel.mvs_views import make_view_sharded_cascade
+        mvs_apply = make_view_sharded_cascade(mvs, mesh, axis[0])
 
     @jax.jit
     def render_view(params, batch, key=None):
@@ -378,7 +390,8 @@ def make_parallel_eval_render(cfg: Config, nerf, mvs, img_hw, mesh: Mesh,
             params, jax.tree.map(lambda _: repl, params))
         batch = jax.lax.with_sharding_constraint(
             batch, jax.tree.map(lambda _: repl, batch))
-        ctx = prepare_view_ctx(cfg, nerf, mvs, params, batch)
+        ctx = prepare_view_ctx(cfg, nerf, mvs, params, batch,
+                               mvs_apply=mvs_apply)
         if cfg.eval_jitter:
             ctx["eval_key"] = (jax.random.PRNGKey(0) if key is None else key)
 

@@ -115,17 +115,27 @@ def _stage_planes(mvs_out, pad: int):
     return planes
 
 
-def scene_inputs(cfg: Config, mvs, params, batch, key, train: bool = True):
+def scene_inputs(cfg: Config, mvs, params, batch, key, train: bool = True,
+                 mvs_apply=None):
     """MVS forward + train-ray build for one scene sample — the replicated
     prefix shared by the serial step and the ray-sharded parallel step
-    (``parallel.sharding.make_parallel_train_step_rays``)."""
+    (``parallel.sharding.make_parallel_train_step_rays``).
+
+    ``mvs_apply(params_mvs, imgs_src, affine_mat, affine_mat_inv, near,
+    far, pad)`` overrides the cascade forward (used by the view-sharded
+    variant, ``parallel.mvs_views.make_view_sharded_cascade``)."""
     imgs_norm = batch["images"]                       # [V, H, W, 3]
     imgs = unnormalize(imgs_norm)
     near, far = batch["near_fars"][0, 0], batch["near_fars"][0, 1]
 
-    mvs_out = mvs.apply({"params": params["mvs"]}, imgs_norm[1:],
-                        batch["affine_mat"], batch["affine_mat_inv"],
-                        near, far, pad=cfg.pad)
+    if mvs_apply is None:
+        mvs_out = mvs.apply({"params": params["mvs"]}, imgs_norm[1:],
+                            batch["affine_mat"], batch["affine_mat_inv"],
+                            near, far, pad=cfg.pad)
+    else:
+        mvs_out = mvs_apply(params["mvs"], imgs_norm[1:],
+                            batch["affine_mat"], batch["affine_mat_inv"],
+                            near, far, cfg.pad)
     confidence = mvs_out["stage3"]["photometric_confidence"]
 
     rays = build_train_rays(
@@ -242,19 +252,26 @@ def _make_loss_fn(cfg: Config, nerf, mvs):
     return loss_fn
 
 
-def prepare_view_ctx(cfg: Config, nerf, mvs, params, batch) -> Dict:
+def prepare_view_ctx(cfg: Config, nerf, mvs, params, batch,
+                     mvs_apply=None) -> Dict:
     """Per-view render context: MVS forward + featurization inputs.
 
     Everything downstream of this is per-ray work; the returned pytree is
     exactly what ``view_chunk_fns`` needs, which makes it the natural
     replicated operand of the mesh-sharded eval render
-    (``parallel.sharding.make_parallel_eval_render``)."""
+    (``parallel.sharding.make_parallel_eval_render``).  ``mvs_apply``
+    overrides the cascade forward like in ``scene_inputs``."""
     imgs_norm = batch["images"]
     imgs = unnormalize(imgs_norm)
     near, far = batch["near_fars"][0, 0], batch["near_fars"][0, 1]
-    mvs_out = mvs.apply({"params": params["mvs"]}, imgs_norm[1:],
-                        batch["affine_mat"], batch["affine_mat_inv"],
-                        near, far, pad=cfg.pad)
+    if mvs_apply is None:
+        mvs_out = mvs.apply({"params": params["mvs"]}, imgs_norm[1:],
+                            batch["affine_mat"], batch["affine_mat_inv"],
+                            near, far, pad=cfg.pad)
+    else:
+        mvs_out = mvs_apply(params["mvs"], imgs_norm[1:],
+                            batch["affine_mat"], batch["affine_mat_inv"],
+                            near, far, cfg.pad)
     confidence = mvs_out["stage3"]["photometric_confidence"]
 
     from ucnerf_tpu.render.renderer import make_feat_ctx
