@@ -102,8 +102,8 @@ def test_hamlyn_train_cli_end_to_end(tmp_path):
         "--dataset_name", "hamlyn", "--datadir", str(tmp_path / "data"),
         "--num_epochs", "1", "--samples_per_scene", "2", "--view_num", "3",
         "--N_samples", "9", "--batch_size", "80", "--patch_size", "4",
-        "--patch_num", "4", "--chunk", "512", "--imgScale_train", "0.25",
-        "--imgScale_test", "0.25", "--expname", "ham_e2e",
+        "--patch_num", "4", "--chunk", "512", "--imgScale_train", "0.5",
+        "--imgScale_test", "0.5", "--expname", "ham_e2e",
         "--basedir", str(tmp_path)])
 
     out = tmp_path / "ham_e2e"
