@@ -37,6 +37,37 @@ def test_dpt_subcommand_writes_npz_per_image(tmp_path, monkeypatch):
         assert pred.shape == (32, 40)    # reference writes npz{pred}
 
 
+def test_seg_subcommand_writes_npz_and_blended_png(tmp_path, monkeypatch):
+    scene = tmp_path / "scene0"
+    os.makedirs(scene / "images")
+    rng = np.random.default_rng(1)
+    arr = rng.integers(0, 255, (24, 30, 3)).astype("uint8")
+    Image.fromarray(arr).save(scene / "images" / "a.png")
+
+    def fake_load_dpt_seg(weights):
+        assert weights == "s.npz"
+
+        def predict(img):
+            h, w = img.shape[:2]
+            labels = np.full((h, w), 3, np.int32)
+            return labels, np.zeros((h, w, 9), np.float32)
+        return predict
+
+    import ucnerf_tpu.models.dpt as dpt_mod
+    monkeypatch.setattr(dpt_mod, "load_dpt_seg", fake_load_dpt_seg)
+
+    preprocess.main(["seg", str(scene), "--weights", "s.npz"])
+
+    labels = np.load(scene / "seg" / "a.npz")["labels"]
+    assert labels.shape == (24, 30) and (labels == 3).all()
+    png = np.asarray(Image.open(scene / "seg" / "a.png"))
+    # reference write_segm_img blends image and palette mask 50/50
+    from ucnerf_tpu.utils.viz import ADE20K_PALETTE
+    expect = np.clip(arr * 0.5 + ADE20K_PALETTE[3] * 0.5, 0, 255)
+    assert png.shape == (24, 30, 3)
+    assert np.abs(png.astype(np.float32) - expect).max() <= 1.0
+
+
 def test_colmap_subcommand_routes_to_imgs2poses(tmp_path, monkeypatch):
     calls = {}
 

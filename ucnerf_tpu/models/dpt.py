@@ -198,13 +198,30 @@ def _readout_project(p, idx, tokens, cls):
     return jax.nn.gelu(t @ w + b, approximate=False)
 
 
+def batch_norm_inf(x, p, prefix, eps: float = 1e-5):
+    """Inference-mode BatchNorm2d (running statistics)."""
+    scale = p[prefix + "weight"] * jax.lax.rsqrt(
+        p[prefix + "running_var"] + eps)
+    return (x - p[prefix + "running_mean"]) * scale + p[prefix + "bias"]
+
+
 def _pre_act_residual(p, prefix, x):
-    h = jax.nn.relu(x)
-    h = conv2d(h, p[prefix + "convolution1.weight"],
-               p[prefix + "convolution1.bias"], pad=1)
-    h = jax.nn.relu(h)
-    h = conv2d(h, p[prefix + "convolution2.weight"],
-               p[prefix + "convolution2.bias"], pad=1)
+    """Pre-activated residual unit.  The segmentation variant BNs each conv
+    and drops the conv biases (reference ``DPTSegmentationModel`` passes
+    ``use_bn=True`` to the fusion blocks, ``preprocess/DPT/dpt/models.py:133``;
+    transformers ``use_batch_norm_in_fusion_residual``) — both are detected
+    from the parameter keys, so depth and seg share this code."""
+    use_bn = prefix + "batch_norm1.running_mean" in p
+
+    def conv(h, i):
+        h = conv2d(h, p[prefix + f"convolution{i}.weight"],
+                   p.get(prefix + f"convolution{i}.bias"), pad=1)
+        if use_bn:
+            h = batch_norm_inf(h, p, prefix + f"batch_norm{i}.")
+        return h
+
+    h = conv(jax.nn.relu(x), 1)
+    h = conv(jax.nn.relu(h), 2)
     return x + h
 
 
@@ -221,10 +238,10 @@ def _fusion_layer(p, idx, x, residual=None):
                   p[prefix + "projection.bias"])
 
 
-def dpt_forward(p: Dict[str, jnp.ndarray], img):
-    """img [H, W, 3] (H, W multiples of 16, already normalized) ->
-    inverse-depth prediction [H, W] (MiDaS convention)."""
-    H, W = img.shape[:2]
+def _dpt_trunk(p: Dict[str, jnp.ndarray], img):
+    """Shared DPT-hybrid trunk: BiT + ViT -> reassemble -> fusion decoder.
+    img [H, W, 3] (H, W multiples of 16, already normalized) -> fused
+    feature map [H/2, W/2, FUSION] (the decoder's ``path_1``)."""
     f4, f8, f16 = _bit_forward(p, img)
 
     gh, gw = f16.shape[0], f16.shape[1]
@@ -265,8 +282,13 @@ def dpt_forward(p: Dict[str, jnp.ndarray], img):
     fused = _fusion_layer(p, 0, feats[3])
     fused = _fusion_layer(p, 1, fused, feats[2])
     fused = _fusion_layer(p, 2, fused, feats[1])
-    fused = _fusion_layer(p, 3, fused, feats[0])
+    return _fusion_layer(p, 3, fused, feats[0])
 
+
+def dpt_forward(p: Dict[str, jnp.ndarray], img):
+    """img [H, W, 3] (H, W multiples of 16, already normalized) ->
+    inverse-depth prediction [H, W] (MiDaS convention)."""
+    fused = _dpt_trunk(p, img)
     h = conv2d(fused, p["head.head.0.weight"], p["head.head.0.bias"], pad=1)
     h = resize_bilinear_ac(h, (h.shape[0] * 2, h.shape[1] * 2))
     h = jax.nn.relu(conv2d(h, p["head.head.2.weight"], p["head.head.2.bias"],
@@ -274,6 +296,69 @@ def dpt_forward(p: Dict[str, jnp.ndarray], img):
     h = jax.nn.relu(conv2d(h, p["head.head.4.weight"],
                            p["head.head.4.bias"]))
     return h[..., 0]
+
+
+def dpt_seg_forward(p: Dict[str, jnp.ndarray], img):
+    """Semantic-segmentation head on the shared trunk (reference
+    ``DPTSegmentationModel``, ``preprocess/DPT/dpt/models.py:126-153``;
+    transformers ``DPTForSemanticSegmentation``): conv3x3 (no bias) -> BN ->
+    ReLU -> [dropout: identity at inference] -> conv1x1 -> 2x bilinear
+    align_corners=True upsample.  img [H, W, 3] normalized -> logits
+    [H, W, num_labels].  (The training-only auxiliary head,
+    ``models.py:145-151``, has no inference role and is not evaluated.)"""
+    fused = _dpt_trunk(p, img)
+    h = conv2d(fused, p["head.head.0.weight"], pad=1)
+    h = jax.nn.relu(batch_norm_inf(h, p, "head.head.1."))
+    h = conv2d(h, p["head.head.4.weight"], p["head.head.4.bias"])
+    return resize_bilinear_ac(h, (h.shape[0] * 2, h.shape[1] * 2))
+
+
+def load_dpt_seg(weights_path=None):
+    """Returns predict(img01 [H,W,3] in [0,1]) -> (labels [H,W] int32 in
+    [1, num_labels], logits [H,W,num_labels]).
+
+    Inference protocol matches the reference seg runner
+    (``preprocess/DPT/run_segmentation.py:52-107``): keep-aspect 'minimal'
+    resize toward 480 with multiple-of-32 dims via cv2-INTER_CUBIC-kernel
+    bicubic, (x-0.5)/0.5 normalization, forward, bicubic
+    align_corners=False upsample of the logits back to the input size,
+    argmax + 1 (ADE20K labels are 1-based there).
+    """
+    if weights_path is None:
+        weights_path = os.environ.get("UCNERF_DPT_SEG_WEIGHTS",
+                                      "pretrained_weights/dpt_hybrid_seg.npz")
+    if not os.path.exists(weights_path):
+        raise FileNotFoundError(
+            f"DPT seg weights not found at {weights_path}; convert them once "
+            "with ucnerf_tpu.models.dpt.convert_dpt_torch_state_dict")
+    if weights_path.endswith((".pt", ".pth", ".bin")):
+        import torch
+        sd = torch.load(weights_path, map_location="cpu", weights_only=False)
+        params = convert_dpt_torch_state_dict(
+            {k: v.numpy() for k, v in sd.items()})
+    else:
+        data = np.load(weights_path)
+        params = {k: data[k] for k in data.files}
+    params = {k: jnp.asarray(v) for k, v in params.items()}
+
+    fwd = jax.jit(lambda img: dpt_seg_forward(params, img))
+
+    from ucnerf_tpu.ops.interpolate import resize_bicubic
+
+    def predict(img01):
+        x = jnp.asarray(img01, jnp.float32)
+        H, W = x.shape[:2]
+        net_h, net_w = dpt_input_size(H, W, target=480)
+        if (net_h, net_w) != (H, W):
+            x = resize_bicubic(x, (net_h, net_w))
+        x = (x - 0.5) / 0.5
+        logits = fwd(x)
+        if (net_h, net_w) != (H, W):
+            logits = resize_bicubic(logits, (H, W))
+        labels = jnp.argmax(logits, axis=-1).astype(jnp.int32) + 1
+        return np.asarray(labels), np.asarray(logits)
+
+    return predict
 
 
 # ------------------------------------------------------------ weights + API
