@@ -80,6 +80,23 @@ def main(argv=None):
     traj = make_trajectory(ns.traj, train_c2ws, sc.get("bounds"),
                            ns.n_frames)
 
+    # Serving-path layout: the source views are fixed along the trajectory,
+    # so (a) the big leaves (images, dpt, sparse depth) are uploaded ONCE
+    # and stay device-resident — each frame only ships the ~KB pose
+    # matrices — and (b) the target-independent FeatureNet forward runs
+    # ONCE here; per frame only the warp/variance/CostRegNet remainder of
+    # the cascade reruns (the cost volume lives in the NDC frame of the
+    # target view, reference renderer.py pipeline).
+    base = to_device_batch(sample)
+    src_feats = jax.jit(
+        lambda p, imgs: mvs.apply({"params": p}, imgs, method="features"))(
+            params["mvs"], base["images"][1:])
+
+    def mvs_cached(params_mvs, imgs_src, aff, aff_inv, near, far, pad):
+        del imgs_src  # features precomputed for the fixed source set
+        return mvs.apply({"params": params_mvs}, src_feats, aff, aff_inv,
+                         near, far, pad, method="from_features")
+
     if int(np.prod(cfg.mesh_shape)) > 1:
         # multi-chip serving: shard each frame's pixel tiles over the full
         # mesh (same path the validator uses, --mesh_shape N [M])
@@ -87,16 +104,11 @@ def main(argv=None):
         from ucnerf_tpu.parallel.sharding import make_parallel_eval_render
         mesh = make_mesh(tuple(cfg.mesh_shape), tuple(cfg.mesh_axes))
         render_view = make_parallel_eval_render(
-            cfg, nerf, mvs, (H, W), mesh, axis=tuple(mesh.axis_names))
+            cfg, nerf, mvs, (H, W), mesh, axis=tuple(mesh.axis_names),
+            mvs_apply=mvs_cached)
     else:
-        render_view = make_eval_render(cfg, nerf, mvs, (H, W))
-
-    # Serving-path layout: the source views are fixed along the trajectory,
-    # so the big leaves (images, dpt, sparse depth) are uploaded ONCE and
-    # stay device-resident; each frame only ships the ~KB pose matrices.
-    # (The MVS cascade itself must rerun per frame — the cost volume lives
-    # in the NDC frame of the target view, reference renderer.py pipeline.)
-    base = to_device_batch(sample)
+        render_view = make_eval_render(cfg, nerf, mvs, (H, W),
+                                       mvs_apply=mvs_cached)
 
     def frame_batch(c2w):
         c2w = c2w.astype(np.float32)

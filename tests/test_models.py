@@ -164,3 +164,68 @@ def test_homo_warp_packed_bit_identical():
     wp, mp = homo_warp(src, proj, dvals_p, pad=2, pack=4)
     assert float(jnp.abs(w1 - wp).max()) == 0.0
     assert float(jnp.abs(m1 - mp).max()) == 0.0
+
+
+def test_cascade_features_split_exact(tiny_cfg):
+    """features() + from_features() == __call__ bit-for-bit.
+
+    The split is the serving-layout contract (render_path.py caches the
+    target-independent FeatureNet forward across trajectory frames)."""
+    cfg = tiny_cfg
+    H, W = 32, 64
+    key = jax.random.PRNGKey(3)
+    _, mvs = create_models(cfg)
+    v1 = cfg.view_num - 1
+    imgs = jax.random.normal(key, (v1, H, W, 3))
+    K = np.array([[30.0, 0, W / 2], [0, 30.0, H / 2], [0, 0, 1]], np.float32)
+    affs = []
+    for v in range(cfg.view_num):
+        per_stage = []
+        for s in range(3):
+            m = np.eye(4, dtype=np.float32)
+            Ks = K.copy()
+            Ks[:2] /= 2 ** (2 - s)
+            m[:3, :3] = Ks
+            m[0, 3] = 0.1 * v
+            per_stage.append(m)
+        affs.append(per_stage)
+    affine = jnp.asarray(np.stack(affs))
+    affine_inv = jnp.asarray(np.linalg.inv(np.stack(affs)))
+
+    params = mvs.init(key, imgs, affine, affine_inv, 0.5, 2.0)
+    full = mvs.apply(params, imgs, affine, affine_inv, 0.5, 2.0)
+    feats = mvs.apply(params, imgs, method="features")
+    split = mvs.apply(params, feats, affine, affine_inv, 0.5, 2.0,
+                      method="from_features")
+    assert jax.tree.structure(full) == jax.tree.structure(split)
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(x).ravel() for x in jax.tree.leaves(full)]),
+        np.concatenate([np.asarray(x).ravel() for x in jax.tree.leaves(split)]))
+
+
+def test_eval_render_with_cached_features_exact():
+    """make_eval_render(mvs_apply=cached-features) == the stock render —
+    the exact wiring render_path.py uses for its serving layout."""
+    import __graft_entry__ as g
+    from ucnerf_tpu.train.loop import make_eval_render, to_device_batch
+
+    cfg, ds, nerf, mvs, params = g._tiny_setup()
+    H, W = ds.img_wh[1], ds.img_wh[0]
+    batch = to_device_batch(ds[0])
+
+    rgb_1, depth_1, conf_1 = make_eval_render(cfg, nerf, mvs, (H, W))(
+        params, batch)
+
+    src_feats = mvs.apply({"params": params["mvs"]}, batch["images"][1:],
+                          method="features")
+
+    def mvs_cached(params_mvs, imgs_src, aff, aff_inv, near, far, pad):
+        del imgs_src
+        return mvs.apply({"params": params_mvs}, src_feats, aff, aff_inv,
+                         near, far, pad, method="from_features")
+
+    rgb_c, depth_c, conf_c = make_eval_render(
+        cfg, nerf, mvs, (H, W), mvs_apply=mvs_cached)(params, batch)
+    np.testing.assert_array_equal(np.asarray(rgb_1), np.asarray(rgb_c))
+    np.testing.assert_array_equal(np.asarray(depth_1), np.asarray(depth_c))
+    np.testing.assert_array_equal(np.asarray(conf_1), np.asarray(conf_c))

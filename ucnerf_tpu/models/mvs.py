@@ -242,20 +242,37 @@ class CascadeMVSNet(nn.Module):
     dtype: object = None           # conv compute dtype (bf16 on TPU)
     folded_convs: bool = True      # depth-folded CostRegNet (layers.Folded)
 
-    @nn.compact
-    def __call__(self, imgs_src, affine_mats, affine_mats_inv, near, far,
-                 pad: int = 0):
-        H, W = imgs_src.shape[1:3]
-        n_stages = len(self.ndepths)
-
+    def setup(self):
+        # setattr keeps the compact-era param names ("feature",
+        # "cost_reg_{i}") so converters / oracles / the view-sharded
+        # cascade (parallel/mvs_views.py) see an unchanged tree.
         per_view_featnet = nn.vmap(
             FeatureNet, in_axes=0, out_axes=0,
             variable_axes={"params": None}, split_rngs={"params": False})
-        feats = per_view_featnet(self.base_channels, self.dtype,
-                                 name="feature")(imgs_src)
+        self.feature = per_view_featnet(self.base_channels, self.dtype)
+        for si in range(len(self.ndepths)):
+            setattr(self, f"cost_reg_{si}",
+                    CostRegNet(self.cr_base_chs[si], self.dtype,
+                               self.folded_convs))
+
+    def features(self, imgs_src):
+        """Per-source-view FPN features — target-independent, so a serving
+        loop over a fixed source set (render_path.py) computes this ONCE
+        and reruns only ``from_features`` per target pose."""
+        return self.feature(imgs_src)
+
+    def from_features(self, feats, affine_mats, affine_mats_inv, near, far,
+                      pad: int = 0):
+        """Cascade given precomputed ``features`` output (the target-view-
+        dependent remainder: plane-sweep warp, variance, CostRegNet,
+        depth/confidence heads)."""
+        H, W = feats["stage3"].shape[1:3]
+        n_stages = len(self.ndepths)
 
         D0 = self.ndepths[0]
-        t = jnp.linspace(0.0, 1.0, D0, dtype=imgs_src.dtype)
+        # reference computes depth hypotheses in the (f32) input dtype;
+        # derive from near/far, not feats (which may be bf16 compute dtype)
+        t = jnp.linspace(0.0, 1.0, D0, dtype=jnp.asarray(near).dtype)
         depth_values_init = near * (1.0 - t) + far * t          # [D0]
         depth_interval = (far - near) / D0
 
@@ -280,9 +297,8 @@ class CascadeMVSNet(nn.Module):
             feats_stage = feats[f"stage{stage}"]                 # [V-1,h,w,C]
             variance = _variance_cost_volume(feats_stage, projs, depth_vals,
                                              stage_pad)
-            cost_feat, prob_logits = CostRegNet(
-                self.cr_base_chs[si], self.dtype, self.folded_convs,
-                name=f"cost_reg_{si}")(variance)
+            cost_feat, prob_logits = getattr(
+                self, f"cost_reg_{si}")(variance)
             prob, depth_out, confidence = stage_head(
                 prob_logits, depth_vals, ndepth, stage_pad, h, w)
 
@@ -297,3 +313,8 @@ class CascadeMVSNet(nn.Module):
 
         outputs["img_feats"] = feats["stage3"]               # [V-1, H, W, 8]
         return outputs
+
+    def __call__(self, imgs_src, affine_mats, affine_mats_inv, near, far,
+                 pad: int = 0):
+        return self.from_features(self.features(imgs_src), affine_mats,
+                                  affine_mats_inv, near, far, pad)

@@ -358,7 +358,7 @@ def make_parallel_train_step_grid_scan(cfg: Config, nerf, mvs, tx,
 
 
 def make_parallel_eval_render(cfg: Config, nerf, mvs, img_hw, mesh: Mesh,
-                              axis="data"):
+                              axis="data", mvs_apply=None):
     """Ray-sharded full-image eval render over the mesh (SURVEY §2.4(a)/§7
     step 7 — the TPU answer to the reference's single-device chunk loop,
     reference ``train.py:251-256``).
@@ -379,8 +379,7 @@ def make_parallel_eval_render(cfg: Config, nerf, mvs, img_hw, mesh: Mesh,
     axis = (axis,) if isinstance(axis, str) else tuple(axis)
     n_dev = int(np.prod([mesh.shape[a] for a in axis]))
     repl = NamedSharding(mesh, P())
-    mvs_apply = None
-    if cfg.shard_mvs_views and len(axis) == 1:
+    if mvs_apply is None and cfg.shard_mvs_views and len(axis) == 1:
         from ucnerf_tpu.parallel.mvs_views import make_view_sharded_cascade
         mvs_apply = make_view_sharded_cascade(mvs, mesh, axis[0])
 

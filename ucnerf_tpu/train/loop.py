@@ -336,14 +336,20 @@ def view_chunk_fns(cfg: Config, nerf, H: int, W: int, ctx: Dict):
     return build_chunk, render_chunk
 
 
-def make_eval_render(cfg: Config, nerf, mvs, img_hw: Tuple[int, int]):
+def make_eval_render(cfg: Config, nerf, mvs, img_hw: Tuple[int, int],
+                     mvs_apply=None):
     """Full-image eval render (reference ``validation_step``,
-    ``train.py:213-324``): one MVS forward, then a tile scan (lax.scan, unroll=cfg.eval_unroll) over ray tiles."""
+    ``train.py:213-324``): one MVS forward, then a tile scan (lax.scan, unroll=cfg.eval_unroll) over ray tiles.
+
+    ``mvs_apply`` overrides the cascade forward (``prepare_view_ctx``) —
+    used by render_path.py's serving layout to reuse cached FeatureNet
+    outputs for the fixed source views."""
     H, W = img_hw
 
     @jax.jit
     def render_view(params, batch, key=None):
-        ctx = prepare_view_ctx(cfg, nerf, mvs, params, batch)
+        ctx = prepare_view_ctx(cfg, nerf, mvs, params, batch,
+                               mvs_apply=mvs_apply)
         if cfg.eval_jitter:
             ctx["eval_key"] = (jax.random.PRNGKey(0) if key is None else key)
         build_chunk, render_chunk = view_chunk_fns(cfg, nerf, H, W, ctx)
