@@ -267,3 +267,45 @@ def test_scan_steps_match_sequential(cfg, dataset):
     for a, b in zip(jax.tree.leaves(state_a.params),
                     jax.tree.leaves(state_b.params)):
         assert np.abs(np.asarray(a) - np.asarray(b)).max() <= 3 * cfg.lrate
+
+
+def test_finetune_freezes_mvs_and_keeps_nerf_grads(cfg, dataset):
+    """--finetune: the loss stop-gradients the MVS tree (so XLA prunes the
+    cascade backward, like torch never building it for requires_grad=False
+    params, reference ``network/models.py:249-250``) — MVS grads must be
+    exactly zero and the NeRF gradient must equal the unfrozen objective's.
+    One optimizer step must then leave the MVS tree bit-identical."""
+    from ucnerf_tpu.train.loop import _make_loss_fn
+
+    cfg_ft = cfg.replace(finetune="scan0")
+    nerf, mvs = create_models(cfg)
+    params = init_params(cfg, jax.random.PRNGKey(0), (32, 64))
+    batch = to_device_batch(dataset[0])
+    key = jax.random.PRNGKey(7)
+
+    def grads_of(c):
+        loss_fn = _make_loss_fn(c, nerf, mvs)
+        return jax.grad(lambda p: loss_fn(p, batch, key)[0])(params)
+
+    g_ft = grads_of(cfg_ft)
+    g_full = grads_of(cfg)
+    assert all(float(jnp.abs(g).max()) == 0.0
+               for g in jax.tree.leaves(g_ft["mvs"]))
+    assert any(float(jnp.abs(g).max()) > 0.0
+               for g in jax.tree.leaves(g_full["mvs"]))
+    for a, b in zip(jax.tree.leaves(g_ft["nerf"]),
+                    jax.tree.leaves(g_full["nerf"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+    tx = make_optimizer(cfg_ft, steps_per_epoch=len(dataset))
+    step = make_train_step(cfg_ft, nerf, mvs, tx)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    state, metrics = step(state, batch, key)
+    assert np.isfinite(float(metrics["loss"]))
+    for a, b in zip(jax.tree.leaves(params["mvs"]),
+                    jax.tree.leaves(state.params["mvs"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert any(float(jnp.abs(a - b).max()) > 0
+               for a, b in zip(jax.tree.leaves(params["nerf"]),
+                               jax.tree.leaves(state.params["nerf"])))

@@ -128,6 +128,18 @@ def scene_inputs(cfg: Config, mvs, params, batch, key, train: bool = True,
     imgs = unnormalize(imgs_norm)
     near, far = batch["near_fars"][0, 0], batch["near_fars"][0, 1]
 
+    if cfg.finetune is not None:
+        # Finetune freezes the Consistency Learner (reference
+        # ``network/models.py:249-250``).  In torch, requires_grad=False
+        # means autograd never BUILDS the cascade backward; stop_gradient
+        # gives JAX the same information, so the entire MVS backward
+        # (~124 ms of the 193 ms step, BASELINE.md perf map) is pruned at
+        # trace time instead of computed and then zeroed by the optimizer
+        # mask (``make_optimizer``, which stays as the belt-and-braces
+        # freeze for any path that skips this prefix).
+        params = dict(params, mvs=jax.tree.map(jax.lax.stop_gradient,
+                                               params["mvs"]))
+
     if mvs_apply is None:
         mvs_out = mvs.apply({"params": params["mvs"]}, imgs_norm[1:],
                             batch["affine_mat"], batch["affine_mat_inv"],
