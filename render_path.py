@@ -17,7 +17,6 @@ import os
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 from ucnerf_tpu.utils.platform import (enable_compile_cache,
                                        honor_jax_platforms_env)
@@ -27,9 +26,8 @@ enable_compile_cache()     # persistent compile cache (env var overrides)
 
 from ucnerf_tpu.config import parse_config
 from ucnerf_tpu.data import build_dataset
-from ucnerf_tpu.data.base import build_affine_mats
 from ucnerf_tpu.models.factory import create_models, init_params
-from ucnerf_tpu.train.loop import make_eval_render, to_device_batch
+from ucnerf_tpu.render.serving import ServingRenderer
 from ucnerf_tpu.utils import checkpoint_io
 from ucnerf_tpu.utils import pose_traj
 
@@ -62,16 +60,8 @@ def main(argv=None):
     ds = build_dataset(cfg, "val")
     H, W = ds.img_wh[1], ds.img_wh[0]
     nerf, mvs = create_models(cfg)
-    params = init_params(cfg, jax.random.PRNGKey(cfg.seed), (H, W))
-    if cfg.ckpt:
-        if cfg.ckpt.endswith((".tar", ".ckpt", ".pth")):
-            params = checkpoint_io.convert_reference_checkpoint(cfg.ckpt)
-        else:
-            from ucnerf_tpu.train.loop import TrainState, make_optimizer
-            tx = make_optimizer(cfg, steps_per_epoch=1)
-            target = TrainState(params, tx.init(params),
-                                jnp.zeros((), jnp.int32))
-            params = checkpoint_io.load_checkpoint(cfg.ckpt, target).params
+    params = checkpoint_io.load_eval_params(
+        cfg, init_params(cfg, jax.random.PRNGKey(cfg.seed), (H, W)))
 
     sample = ds[0]
     scan = ds.metas[0][0]
@@ -80,47 +70,12 @@ def main(argv=None):
     traj = make_trajectory(ns.traj, train_c2ws, sc.get("bounds"),
                            ns.n_frames)
 
-    # Serving-path layout: the source views are fixed along the trajectory,
-    # so (a) the big leaves (images, dpt, sparse depth) are uploaded ONCE
-    # and stay device-resident — each frame only ships the ~KB pose
-    # matrices — and (b) the target-independent FeatureNet forward runs
-    # ONCE here; per frame only the warp/variance/CostRegNet remainder of
-    # the cascade reruns (the cost volume lives in the NDC frame of the
-    # target view, reference renderer.py pipeline).
-    base = to_device_batch(sample)
-    src_feats = jax.jit(
-        lambda p, imgs: mvs.apply({"params": p}, imgs, method="features"))(
-            params["mvs"], base["images"][1:])
-
-    def mvs_cached(params_mvs, imgs_src, aff, aff_inv, near, far, pad):
-        del imgs_src  # features precomputed for the fixed source set
-        return mvs.apply({"params": params_mvs}, src_feats, aff, aff_inv,
-                         near, far, pad, method="from_features")
-
-    if int(np.prod(cfg.mesh_shape)) > 1:
-        # multi-chip serving: shard each frame's pixel tiles over the full
-        # mesh (same path the validator uses, --mesh_shape N [M])
-        from ucnerf_tpu.parallel.mesh import make_mesh
-        from ucnerf_tpu.parallel.sharding import make_parallel_eval_render
-        mesh = make_mesh(tuple(cfg.mesh_shape), tuple(cfg.mesh_axes))
-        render_view = make_parallel_eval_render(
-            cfg, nerf, mvs, (H, W), mesh, axis=tuple(mesh.axis_names),
-            mvs_apply=mvs_cached)
-    else:
-        render_view = make_eval_render(cfg, nerf, mvs, (H, W),
-                                       mvs_apply=mvs_cached)
-
-    def frame_batch(c2w):
-        c2w = c2w.astype(np.float32)
-        w2c = np.linalg.inv(c2w).astype(np.float32)
-        aff, aff_inv = build_affine_mats(sc["intrinsic"], w2c)
-        s = dict(base)
-        for key, row in (("c2ws", c2w), ("w2cs", w2c),
-                         ("affine_mat", aff), ("affine_mat_inv", aff_inv)):
-            arr = np.asarray(sample[key]).copy()
-            arr[0] = row
-            s[key] = jnp.asarray(arr)
-        return s
+    # Serving layout (render/serving.py): source views + FeatureNet
+    # features device-resident across the trajectory; per frame only the
+    # pose matrices ship and the target-dependent cascade remainder reruns.
+    # Multi-chip (--mesh_shape N [M]): pixel tiles shard over the mesh.
+    renderer = ServingRenderer(cfg, nerf, mvs, params, sample, (H, W),
+                               sc["intrinsic"])
 
     # Pipeline: dispatch frame i+1 before fetching frame i so the host
     # transfer overlaps the device render.
@@ -129,7 +84,7 @@ def main(argv=None):
     pending = None
     t0 = time.perf_counter()
     for i, c2w in enumerate(traj):
-        rgb, depth, _ = render_view(params, frame_batch(c2w))
+        rgb, depth, _ = renderer.render(c2w)
         if pending is not None:
             frames.append(np.asarray(pending[0]))
             depths.append(np.asarray(pending[1]))
@@ -154,7 +109,17 @@ def main(argv=None):
         np.savez(ns.out, rgb=frames, depth=np.stack(depths))
     else:
         import imageio
-        imageio.mimwrite(ns.out, (frames * 255).astype(np.uint8), fps=10)
+        try:
+            imageio.mimwrite(ns.out, (frames * 255).astype(np.uint8),
+                             fps=10)
+        except (ValueError, ImportError) as e:
+            # no video backend (ffmpeg/pyav) in this environment — don't
+            # throw the rendered frames away
+            fallback = ns.out + ".npz"
+            np.savez(fallback, rgb=frames, depth=np.stack(depths))
+            print(f"render_path.py: no video writer for {ns.out!r} ({e}); "
+                  f"saved frames to {fallback} instead")
+            ns.out = fallback
     print(f"wrote {ns.out} ({len(frames)} frames, {W}x{H})")
 
 

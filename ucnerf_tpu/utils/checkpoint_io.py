@@ -282,3 +282,20 @@ def export_casmvsnet_state_dict(mvs_params) -> Dict[str, np.ndarray]:
                     f"cost_regularization.{s}.{cname}.bn", out)
         _j2t_conv(cr["Conv_0"], f"cost_regularization.{s}.prob", 3, out)
     return out
+
+
+def load_eval_params(cfg, params):
+    """Resolve ``--ckpt`` for the inference CLIs (train.py --eval,
+    render_path.py, serve.py): a torch ``.tar/.ckpt/.pth`` converts on the
+    fly (reference ``network/models.py:253-266`` load path); anything else
+    is an orbax directory whose full TrainState is restored and the params
+    extracted.  With no ``--ckpt``, the given init params pass through."""
+    if not cfg.ckpt:
+        return params
+    if cfg.ckpt.endswith((".tar", ".ckpt", ".pth")):
+        return convert_reference_checkpoint(cfg.ckpt)
+    import jax.numpy as jnp
+    from ucnerf_tpu.train.loop import TrainState, make_optimizer
+    tx = make_optimizer(cfg, steps_per_epoch=1)
+    target = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    return load_checkpoint(cfg.ckpt, target).params
