@@ -21,6 +21,11 @@ Batch mode (JSON-lines requests from a file or stdin, used by tests):
     python serve.py ... --requests reqs.jsonl
     # each line: {"c2w": [[...]], "out": "frame_001.npz"}
 
+File-input batches pipeline dispatch-ahead (BASELINE.md: 300.9 vs
+395-423 ms/frame synchronous on v5e); the per-request "ms" lines then
+overlap each other — the final ``{"frames", "wall_ms", "ms_per_frame"}``
+line is the throughput number.
+
 Request fields: ``c2w`` (4x4 camera-to-world, same convention as the
 dataset poses), optional ``format`` "npz" (rgb f32 + depth f32 +
 confidence f32) or "png" (rgb only).  Single in-flight render by design
