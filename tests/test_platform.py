@@ -27,6 +27,13 @@ def restore_cache_config():
     jax.config.update("jax_compilation_cache_dir", prev)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_min)
     jax.config.update("jax_platforms", prev_plat)
+    # restoring the CONFIG is not enough: jax initializes its persistent
+    # cache instance at most once per process, so a test that triggered
+    # initialization would leave a LIVE cache serving every later compile
+    # in the suite (hermeticity leak; XLA:CPU AOT reloads also log
+    # machine-feature warnings).  Drop the instance too.
+    from jax._src import compilation_cache
+    compilation_cache.reset_cache()
 
 
 def test_env_var_overrides_default(tmp_path, monkeypatch,
