@@ -1,0 +1,242 @@
+"""Per-phase cost breakdown of the train step on the real chip.
+
+Each phase runs K iterations inside ONE jit (lax.scan over varying
+inputs, a scalar value-fetch at the end), so the ~32 ms axon dispatch
+overhead amortizes to ~2 ms/iter and phases as small as a few ms are
+measurable (BASELINE.md methodology notes).  Medians over ITERS calls.
+
+Phases at the SCARED operating point (320x256, V=7):
+  featnet_fwd / featnet_grad   FeatureNet over the 6 source views
+  cascade_fwd / cascade_grad   full CascadeMVSNet
+  rays_fwd                     build_train_rays given a fixed cascade
+  render_fwd / render_grad     render_rays given fixed rays+cascade
+                               (grad w.r.t. nerf params AND mvs_out —
+                               the in-step cotangent surface)
+  loss_fwd                     scene_loss_terms given render outputs
+  step_single                  full train step, one dispatch
+
+Run:  python scripts/profile_phases.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from ucnerf_tpu.utils.platform import (enable_compile_cache,
+                                       honor_jax_platforms_env)
+
+honor_jax_platforms_env()
+enable_compile_cache()
+
+import jax
+import jax.numpy as jnp
+
+from ucnerf_tpu.config import Config
+from ucnerf_tpu.data.synthetic import SyntheticDataset
+from ucnerf_tpu.models.factory import create_models, init_params
+from ucnerf_tpu.models.mvs import FeatureNet
+from ucnerf_tpu.render.renderer import render_rays
+from ucnerf_tpu.train.loop import (TrainState, make_optimizer,
+                                   make_train_step, scene_inputs,
+                                   scene_loss_terms, to_device_batch,
+                                   unnormalize)
+
+H, W = 256, 320
+K = 8          # iterations per dispatch
+WARMUP = 2
+ITERS = 7
+
+
+def timed(fn, *args):
+    """Median seconds per call of a pre-jitted fn; value-fetch synced."""
+    for _ in range(WARMUP):
+        float(fn(*args))
+    ts = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        float(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def scan_phase(body, init_keys):
+    """jit(lambda keys: scan(body)) — body(key) -> scalar contribution."""
+    @jax.jit
+    def run(keys):
+        def one(acc, k):
+            return acc + body(k), None
+        acc, _ = jax.lax.scan(one, jnp.zeros(()), keys)
+        return acc
+    return lambda: run(init_keys)
+
+
+def main():
+    cfg = Config(dataset_name="synthetic", view_num=7, batch_size=2000,
+                 patch_size=6, patch_num=50, n_depth_rays=1024,
+                 N_samples=90, num_epochs=30, chunk=1024)
+    ds = SyntheticDataset("", split="train", n_views=cfg.view_num,
+                          img_wh=(W, H), n_depth_rays=cfg.n_depth_rays,
+                          n_sparse=1024, n_images=16)
+    nerf, mvs = create_models(cfg)
+    params = init_params(cfg, jax.random.PRNGKey(0), (H, W))
+    batch = to_device_batch(ds[0])
+    keys = jax.random.split(jax.random.PRNGKey(7), K)
+    imgs_norm = batch["images"]
+    near, far = batch["near_fars"][0, 0], batch["near_fars"][0, 1]
+    results = {}
+
+    def report(name, dt_dispatch, base=None):
+        per = (dt_dispatch - (base or 0.0)) / K
+        results[name] = round(per * 1e3, 2)
+        print(f"{name}: {per * 1e3:.2f} ms/iter "
+              f"({dt_dispatch * 1e3:.1f} ms/dispatch)", flush=True)
+        return per
+
+    # empty scan: dispatch + scan overhead baseline
+    dt0 = timed(scan_phase(lambda k: jnp.sum(k.astype(jnp.float32)) * 0.0,
+                           keys))
+    print(f"empty dispatch: {dt0 * 1e3:.1f} ms", flush=True)
+
+    # --- FeatureNet over the 6 source views ---
+    featnet = FeatureNet(mvs.base_channels, mvs.dtype)
+    fp = params["mvs"]["feature"]
+
+    def featnet_fwd(key):
+        x = imgs_norm[1:] + 1e-8 * key[0].astype(jnp.float32)
+        outs = [featnet.apply({"params": fp}, x[i]) for i in range(6)]
+        return sum(jnp.sum(o["stage3"]) + jnp.sum(o["stage1"])
+                   + jnp.sum(o["stage2"]) for o in outs).astype(jnp.float32)
+
+    report("featnet_fwd", timed(scan_phase(featnet_fwd, keys)), dt0)
+
+    def featnet_loss(p, key):
+        x = imgs_norm[1:] + 1e-8 * key[0].astype(jnp.float32)
+        outs = [featnet.apply({"params": p}, x[i]) for i in range(6)]
+        return sum(jnp.sum(o["stage3"]) + jnp.sum(o["stage1"])
+                   + jnp.sum(o["stage2"]) for o in outs).astype(jnp.float32)
+
+    def featnet_grad(key):
+        g = jax.grad(featnet_loss)(fp, key)
+        return sum(jnp.sum(jnp.abs(l.astype(jnp.float32)))
+                   for l in jax.tree.leaves(g)) * 1e-20
+
+    report("featnet_grad", timed(scan_phase(featnet_grad, keys)), dt0)
+
+    # --- full cascade ---
+    def cascade_fwd(key):
+        x = imgs_norm[1:] + 1e-8 * key[0].astype(jnp.float32)
+        out = mvs.apply({"params": params["mvs"]}, x, batch["affine_mat"],
+                        batch["affine_mat_inv"], near, far, pad=cfg.pad)
+        return (jnp.sum(out["stage3"]["depth"])
+                + jnp.sum(out["stage3"]["volume_feature"])
+                ).astype(jnp.float32)
+
+    report("cascade_fwd", timed(scan_phase(cascade_fwd, keys)), dt0)
+
+    def cascade_loss(p, key):
+        x = imgs_norm[1:] + 1e-8 * key[0].astype(jnp.float32)
+        out = mvs.apply({"params": p}, x, batch["affine_mat"],
+                        batch["affine_mat_inv"], near, far, pad=cfg.pad)
+        return (jnp.sum(out["stage3"]["depth"])
+                + jnp.sum(out["stage3"]["volume_feature"])
+                + jnp.sum(out["stage3"]["photometric_confidence"])
+                ).astype(jnp.float32)
+
+    def cascade_grad(key):
+        g = jax.grad(cascade_loss)(params["mvs"], key)
+        return sum(jnp.sum(jnp.abs(l.astype(jnp.float32)))
+                   for l in jax.tree.leaves(g)) * 1e-20
+
+    report("cascade_grad", timed(scan_phase(cascade_grad, keys)), dt0)
+
+    # --- fixed cascade outputs for the render phases ---
+    imgs, mvs_out, confidence, rays0 = jax.jit(
+        lambda p, b, k: scene_inputs(cfg, mvs, p, b, k))(
+        params, batch, jax.random.PRNGKey(3))
+    mvs_out = jax.tree.map(jax.lax.stop_gradient, mvs_out)
+
+    def rays_fwd(key):
+        _, _, _, rays = scene_inputs(cfg, mvs, params, batch, key)
+        return (jnp.sum(rays["points_world"].astype(jnp.float32)) * 1e-10
+                + jnp.sum(rays["colors"]))
+
+    dt_rays_cascade = timed(scan_phase(rays_fwd, keys))
+    # rays_fwd includes a cascade forward (confidence feeds the patch
+    # sampling); subtract the measured cascade_fwd dispatch
+    per = (dt_rays_cascade - dt0) / K - results["cascade_fwd"] / 1e3
+    results["rays_fwd"] = round(per * 1e3, 2)
+    print(f"rays_fwd: {per * 1e3:.2f} ms/iter (cascade subtracted)",
+          flush=True)
+
+    def nerf_apply(pts, dirs, feats):
+        return nerf.apply({"params": params["nerf"]}, pts, dirs, feats)
+
+    def render_fwd(key):
+        rgb, depth = render_rays(nerf_apply, rays0, mvs_out, confidence,
+                                 imgs[1:], batch["w2cs"][1:],
+                                 batch["intrinsics"][1:], batch["w2cs"][0],
+                                 white_bkgd=cfg.white_bkgd,
+                                 fast=cfg.fast_featurization)
+        return jnp.sum(rgb) + jnp.sum(depth) * 1e-6 \
+            + jnp.sum(key.astype(jnp.float32)) * 0.0
+
+    report("render_fwd", timed(scan_phase(render_fwd, keys)), dt0)
+
+    def render_loss(operands, key):
+        p_nerf, mo, conf, im = operands
+
+        def napply(pts, dirs, feats):
+            return nerf.apply({"params": p_nerf}, pts, dirs, feats)
+        rgb, depth = render_rays(napply, rays0, mo, conf, im[1:],
+                                 batch["w2cs"][1:], batch["intrinsics"][1:],
+                                 batch["w2cs"][0],
+                                 white_bkgd=cfg.white_bkgd,
+                                 fast=cfg.fast_featurization)
+        return (jnp.sum(rgb) + jnp.sum(depth) * 1e-6
+                + jnp.sum(key.astype(jnp.float32)) * 0.0)
+
+    operands = (params["nerf"], mvs_out, confidence, imgs)
+
+    def render_grad(key):
+        g = jax.grad(render_loss)(operands, key)
+        return sum(jnp.sum(jnp.abs(l.astype(jnp.float32)))
+                   for l in jax.tree.leaves(g)) * 1e-20
+
+    report("render_grad", timed(scan_phase(render_grad, keys)), dt0)
+
+    # --- loss assembly given render outputs ---
+    rgb0, depth0 = jax.jit(lambda: render_rays(
+        nerf_apply, rays0, mvs_out, confidence, imgs[1:], batch["w2cs"][1:],
+        batch["intrinsics"][1:], batch["w2cs"][0],
+        white_bkgd=cfg.white_bkgd, fast=cfg.fast_featurization))()
+
+    def loss_fwd(key):
+        loss, _ = scene_loss_terms(cfg, batch, rgb0, depth0, rays0, mvs_out)
+        return loss + jnp.sum(key.astype(jnp.float32)) * 0.0
+
+    report("loss_fwd", timed(scan_phase(loss_fwd, keys)), dt0)
+
+    # --- full step, K per dispatch (the production shape) ---
+    tx = make_optimizer(cfg, steps_per_epoch=200)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step = make_train_step(cfg, nerf, mvs, tx)
+
+    def run_step():
+        nonlocal state
+        state, metrics = step(state, batch, jax.random.PRNGKey(5))
+        return metrics["loss"]
+
+    dt = timed(run_step)
+    results["step_single_dispatch"] = round(dt * 1e3, 2)
+    print(f"step_single_dispatch: {dt * 1e3:.2f} ms", flush=True)
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -75,3 +75,61 @@ def test_folded_costregnet_grads_finite(vol):
     leaves = jax.tree.leaves(g)
     assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
     assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+# ---- space-folded FeatureNet (layers.SpaceFolded) ----
+
+@pytest.fixture(scope="module")
+def img():
+    return jax.random.normal(jax.random.PRNGKey(3), (64, 96, 3))
+
+
+def test_space_fold_roundtrip(img):
+    from ucnerf_tpu.models.layers import space_fold, space_unfold
+    for f in (1, 2, 4):
+        sf = space_fold(img, f)
+        assert sf.x.shape == (64 // f, 96 // f, f * f * 3)
+        np.testing.assert_array_equal(np.asarray(space_unfold(sf)),
+                                      np.asarray(img))
+
+
+@pytest.mark.parametrize("fold,kernel,stride,pad", [
+    (4, 3, 1, 1), (4, 5, 2, 2), (2, 3, 1, 1), (2, 5, 2, 2), (1, 3, 1, 1)])
+def test_space_folded_conv_layer_exact(img, fold, kernel, stride, pad):
+    from ucnerf_tpu.models.layers import space_fold, space_unfold
+    m = ConvBNReLU(16, kernel, stride, pad)
+    p = m.init(jax.random.PRNGKey(0), img)["params"]
+    yu = m.apply({"params": p}, img)
+    yf = space_unfold(m.apply({"params": p}, space_fold(img, fold)))
+    assert yu.shape == yf.shape
+    np.testing.assert_allclose(np.asarray(yu), np.asarray(yf),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_space_folded_featnet_matches_plain(img):
+    """Forward + gradient parity, identical param tree (torch converters
+    and pretrained checkpoints work unchanged)."""
+    from ucnerf_tpu.models.mvs import FeatureNet
+    plain = FeatureNet(8, None, space_folded=False)
+    fold = FeatureNet(8, None, space_folded=True)
+    p = plain.init(jax.random.PRNGKey(0), img)["params"]
+    pf = fold.init(jax.random.PRNGKey(0), jnp.zeros_like(img))["params"]
+    assert jax.tree.map(jnp.shape, p) == jax.tree.map(jnp.shape, pf)
+    o_u = plain.apply({"params": p}, img)
+    o_f = fold.apply({"params": p}, img)
+    for k in ("stage1", "stage2", "stage3"):
+        assert o_f[k].shape == o_u[k].shape
+        np.testing.assert_allclose(np.asarray(o_u[k]), np.asarray(o_f[k]),
+                                   rtol=1e-4, atol=1e-5)
+
+    def loss(params, mod):
+        o = mod.apply({"params": params}, img)
+        return sum(jnp.sum(jnp.sin(v)) for v in o.values())
+
+    g_u = jax.grad(lambda q: loss(q, plain))(p)
+    g_f = jax.grad(lambda q: loss(q, fold))(p)
+    # leaf-scale-normalized: 8 batch-stat norms amplify fp reordering on
+    # near-cancelled elements, so per-element rtol is the wrong yardstick
+    for a, b in zip(jax.tree.leaves(g_u), jax.tree.leaves(g_f)):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-8
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-4

@@ -189,6 +189,17 @@ class Config:
     # Exists mainly so convergence A/B tests can pin either path.
     fast_featurization: bool = True
 
+    # space-folded FeatureNet FPN (models/layers.py::SpaceFolded): every 2D
+    # conv runs space-to-depth folded at stage-1 resolution with f^2-wider
+    # channels — same math + param tree (tested), MXU-lane-efficient where
+    # the C=3..32 convs are latency-bound on TPU.  Measured (BASELINE.md):
+    # 3.2x/4.7x faster standalone (fwd / fwd+bwd) but neutral-to-slower
+    # inside the train step / eval frame / finetune step, where XLA hides
+    # the plain featnet under warp+MLP phases — hence default OFF; useful
+    # where featnet runs alone (e.g. serving feature-cache precompute).
+    # (The depth-folded CostRegNet analogue is always on; no config knob.)
+    folded_featnet: bool = False
+
     # precision
     mvs_dtype: str = "float32"        # compute dtype for the MVS cascade
     nerf_dtype: str = "bfloat16"      # NeRF MLP matmul dtype (params f32);

@@ -33,7 +33,8 @@ def create_models(cfg: Config) -> Tuple[UCNeRFMLP, CascadeMVSNet]:
         cfg.mvs_dtype)
     mvs = CascadeMVSNet(ndepths=tuple(cfg.ndepths),
                         depth_intervals_ratio=tuple(cfg.depth_intervals_ratio),
-                        dtype=mvs_dtype)
+                        dtype=mvs_dtype,
+                        folded_featnet=cfg.folded_featnet)
     return nerf, mvs
 
 

@@ -66,6 +66,88 @@ def unfold_volume(f: Folded) -> jnp.ndarray:
     return jnp.transpose(f.x.reshape(h, w, f.d, c), (2, 0, 1, 3))
 
 
+class SpaceFolded(NamedTuple):
+    """An [H, W, C] map stored space-to-depth folded as [H/f, W/f, f*f*C].
+
+    Same motivation as ``Folded`` but for the FeatureNet FPN's 2D convs
+    (C=3..32, reference ``mvs_models.py:309-410``): at C=8 a conv fills
+    8/128 MXU lanes and the 11-conv FPN measures latency-bound.  Folding
+    f x f fine pixels into channels (phase-major: channel index =
+    (ay*f + ax)*C + c) runs every conv at one coarse resolution with
+    f^2-wider channel contractions.  A fine (k, s, p) conv becomes a
+    coarse conv whose kernel carries per-axis fold taps (``_space_taps``):
+    fine output phase o and kernel tap q land at coarse offset qf and
+    input phase a with  s*o + q - p == f_in*(qf - pf) + a,  separably in
+    y and x.  Strides divide the fold: f_out = f_in // s.
+    """
+    x: jnp.ndarray   # [H/f, W/f, f*f*C]
+    f: int           # static fold factor per spatial axis
+
+    @property
+    def channels(self) -> int:
+        return self.x.shape[-1] // (self.f * self.f)
+
+    def __add__(self, other: "SpaceFolded") -> "SpaceFolded":
+        assert self.f == other.f
+        return SpaceFolded(self.x + other.x, self.f)
+
+
+def space_fold(x: jnp.ndarray, f: int) -> SpaceFolded:
+    """[H, W, C] -> SpaceFolded([H/f, W/f, f*f*C]), phase-major channels."""
+    if f == 1:
+        return SpaceFolded(x, 1)
+    h, w, c = x.shape
+    x = x.reshape(h // f, f, w // f, f, c)
+    return SpaceFolded(
+        jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(h // f, w // f,
+                                                  f * f * c), f)
+
+
+def space_unfold(s: SpaceFolded) -> jnp.ndarray:
+    """SpaceFolded -> [H, W, C]."""
+    if s.f == 1:
+        return s.x
+    hb, wb = s.x.shape[:2]
+    f, c = s.f, s.channels
+    x = s.x.reshape(hb, wb, f, f, c)
+    return jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(hb * f, wb * f, c)
+
+
+def _space_taps(f_in: int, k: int, stride: int,
+                pad: int) -> Tuple[np.ndarray, int]:
+    """Per-axis fold taps: T[q, qf, a, o] = 1 iff fine kernel tap q maps
+    input phase a at coarse offset qf to output phase o, i.e.
+    ``stride*o + q - pad == f_in*(qf - pf) + a``.  Returns (T, pf) with
+    qf in [0, kf).  Requires f_in % stride == 0 (f_out = f_in // stride).
+    """
+    assert f_in % stride == 0
+    f_out = f_in // stride
+    r_lo = -pad                              # min of stride*o + q - pad
+    r_hi = stride * (f_out - 1) + k - 1 - pad
+    pf = -(r_lo // f_in) if r_lo < 0 else 0
+    kf = (r_hi // f_in) + 1 + pf
+    T = np.zeros((k, kf, f_in, f_out), np.float32)
+    for q in range(k):
+        for o in range(f_out):
+            r = stride * o + q - pad
+            qf, a = divmod(r, f_in)
+            T[q, qf + pf, a, o] = 1.0
+    return T, pf
+
+
+def _space_fold_kernel(w, Ty, Tx):
+    """Fine kernel (kh, kw, Cin, Cout) + per-axis taps -> coarse kernel
+    (kfy, kfx, f_in^2*Cin, f_out^2*Cout), phase-major channel layout."""
+    kh, kw, cin, cout = w.shape
+    Ty = jnp.asarray(Ty, w.dtype)
+    Tx = jnp.asarray(Tx, w.dtype)
+    big = jnp.einsum("yYAO,xXBP,yxio->YXABiOPo", Ty, Tx, w)
+    fy_in, fy_out = Ty.shape[2], Ty.shape[3]
+    fx_in, fx_out = Tx.shape[2], Tx.shape[3]
+    return big.reshape(Ty.shape[1], Tx.shape[1], fy_in * fx_in * cin,
+                       fy_out * fx_out * cout)
+
+
 def _depth_taps_conv(d_in: int, k: int, stride: int, pad: int) -> np.ndarray:
     """S[q, d_in, d_out] = 1 iff d_in == stride*d_out + q - pad (zero pad)."""
     d_out = (d_in + 2 * pad - k) // stride + 1
@@ -120,6 +202,21 @@ class ParamHolder(nn.Module):
     @nn.compact
     def __call__(self):
         return self.param("kernel", torch_kaiming_uniform_conv, self.shape)
+
+
+class ConvParams(nn.Module):
+    """Declares 'kernel' (+ optional 'bias') params with nn.Conv's paths and
+    inits — for hand-executed convs (e.g. the space-folded FPN) whose param
+    tree must match the ``nn.Conv`` layers they replace."""
+    shape: Tuple[int, ...]          # fine kernel shape (*k, Cin, Cout)
+    bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", torch_kaiming_uniform_conv, self.shape)
+        b = (self.param("bias", nn.initializers.zeros, (self.shape[-1],))
+             if self.bias else None)
+        return k, b
 
 
 def torch_kaiming_uniform_conv(key, shape, dtype=jnp.float32):
@@ -181,6 +278,8 @@ class ConvBNReLU(nn.Module):
     def __call__(self, x):
         if isinstance(x, Folded):
             return self._call_folded(x)
+        if isinstance(x, SpaceFolded):
+            return self._call_space_folded(x)
         ndim = x.ndim - 1  # spatial rank (no batch dim; channel-last)
         k = (self.kernel,) * ndim
         pad = [(self.padding, self.padding)] * ndim
@@ -193,6 +292,33 @@ class ConvBNReLU(nn.Module):
         if self.use_relu:
             y = jax.nn.relu(y)
         return y
+
+    def _call_space_folded(self, sf: SpaceFolded) -> SpaceFolded:
+        """Space-folded 2D conv (see ``SpaceFolded``): one coarse conv whose
+        channel matrix carries the fold taps.  Exact same math + param tree
+        as the 2D ``nn.Conv`` path."""
+        k, s, p = self.kernel, self.stride, self.padding
+        cin = sf.channels
+        w = ParamHolder(((k,) * 2) + (cin, self.features), name="Conv_0")()
+        T, pf = _space_taps(sf.f, k, s, p)
+        big = _space_fold_kernel(w, T, T)
+        f_out = sf.f // s
+        x = sf.x
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            big = big.astype(self.dtype)
+        kf = T.shape[1]
+        y = jax.lax.conv_general_dilated(
+            x[None], big, window_strides=(1, 1),
+            padding=[(pf, kf - 1 - pf)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+        bias = (not self.use_bn) if self.use_bias is None else self.use_bias
+        assert not bias, "space-folded conv path only supports bias-free convs"
+        if self.use_bn:
+            y = BatchStatNorm()(y.astype(jnp.float32), d=f_out * f_out)
+        if self.use_relu:
+            y = jax.nn.relu(y)
+        return SpaceFolded(y, f_out)
 
     def _call_folded(self, f: Folded) -> Folded:
         """Depth-folded 3D conv (see ``Folded``): one 2D conv whose channel

@@ -30,9 +30,12 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ucnerf_tpu.models.layers import (ConvBNReLU, ConvTransposeBNReLU,
-                                      Folded, ParamHolder, _depth_taps_conv,
-                                      _fold_kernel, fold_volume,
+from ucnerf_tpu.models.layers import (ConvBNReLU, ConvParams,
+                                      ConvTransposeBNReLU, Folded,
+                                      ParamHolder, SpaceFolded,
+                                      _depth_taps_conv, _fold_kernel,
+                                      _space_fold_kernel, _space_taps,
+                                      fold_volume, space_fold, space_unfold,
                                       unfold_volume)
 from ucnerf_tpu.models.layers import torch_kaiming_uniform_conv
 from ucnerf_tpu.ops.interpolate import (resize_bilinear, resize_trilinear,
@@ -40,13 +43,53 @@ from ucnerf_tpu.ops.interpolate import (resize_bilinear, resize_trilinear,
 from ucnerf_tpu.ops.warp import homo_warp
 
 
+def _sf_conv(sf: SpaceFolded, w, b, k: int, s: int, p: int) -> SpaceFolded:
+    """Apply a fine (k, s, p) conv to a space-folded map (see
+    ``layers.SpaceFolded``); ``w`` is the FINE kernel (params stay in the
+    nn.Conv layout so converters/checkpoints are unchanged)."""
+    T, pf = _space_taps(sf.f, k, s, p)
+    big = _space_fold_kernel(w, T, T)
+    kf = T.shape[1]
+    y = jax.lax.conv_general_dilated(
+        sf.x[None], big, window_strides=(1, 1),
+        padding=[(pf, kf - 1 - pf)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+    f_out = sf.f // s
+    if b is not None:
+        y = y + jnp.tile(b, f_out * f_out)   # phase-major: b repeats per phase
+    return SpaceFolded(y, f_out)
+
+
+def _sf_up2(sf: SpaceFolded) -> SpaceFolded:
+    """Nearest 2x upsample in folded space: pure phase-channel fan-out
+    (out fine pixel (2i+a) reads in fine pixel i, i.e. out phase (ay, ax)
+    at block I reads in phase (ay//2, ax//2) at the SAME block)."""
+    hb, wb = sf.x.shape[:2]
+    c = sf.channels
+    if sf.f == 1:
+        return SpaceFolded(jnp.tile(sf.x, (1, 1, 4)), 2)
+    xr = sf.x.reshape(hb, wb, sf.f, sf.f, c)
+    xr = jnp.repeat(jnp.repeat(xr, 2, axis=2), 2, axis=3)
+    return SpaceFolded(xr.reshape(hb, wb, 4 * sf.f * sf.f * c), 2 * sf.f)
+
+
 class FeatureNet(nn.Module):
-    """FPN feature extractor for one view [H, W, 3] -> 3 stage maps."""
+    """FPN feature extractor for one view [H, W, 3] -> 3 stage maps.
+
+    With ``space_folded=True``, every conv runs space-to-depth folded at
+    the coarsest (stage-1) resolution with f^2-wider channels (fold 4 at
+    full res, 2 at half res — see ``layers.SpaceFolded``): the same math
+    and the same parameter tree as the plain path, but MXU-lane-efficient
+    where the C=3..32 2D convs are latency-bound on TPU.
+    """
     base_channels: int = 8
     dtype: object = None
+    space_folded: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.space_folded and x.shape[0] % 4 == 0 and x.shape[1] % 4 == 0:
+            return self._folded_fpn(x)
         bc = self.base_channels
         dt = self.dtype
         conv0 = ConvBNReLU(bc, 3, 1, 1, dtype=dt)(x)
@@ -74,6 +117,38 @@ class FeatureNet(nn.Module):
         out3 = nn.Conv(bc, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
                        kernel_init=torch_kaiming_uniform_conv)(intra)
         return {"stage1": out1, "stage2": out2, "stage3": out3}
+
+    def _folded_fpn(self, x):
+        """Space-folded twin of ``__call__`` — same module/param creation
+        order (ConvBNReLU_0..7, Conv_0..4), same math (tested)."""
+        bc = self.base_channels
+        dt = self.dtype
+        sf = space_fold(x, 4)
+        conv0 = ConvBNReLU(bc, 3, 1, 1, dtype=dt)(sf)
+        conv0 = ConvBNReLU(bc, 3, 1, 1, dtype=dt)(conv0)          # f=4
+        conv1 = ConvBNReLU(bc * 2, 5, 2, 2, dtype=dt)(conv0)      # f=2
+        conv1 = ConvBNReLU(bc * 2, 3, 1, 1, dtype=dt)(conv1)
+        conv1 = ConvBNReLU(bc * 2, 3, 1, 1, dtype=dt)(conv1)
+        conv2 = ConvBNReLU(bc * 4, 5, 2, 2, dtype=dt)(conv1)      # f=1
+        conv2 = ConvBNReLU(bc * 4, 3, 1, 1, dtype=dt)(conv2)
+        conv2 = ConvBNReLU(bc * 4, 3, 1, 1, dtype=dt)(conv2)
+
+        intra = conv2                                             # f=1
+        # the FPN lateral/output convs run f32 like the nn.Conv path
+        # (which takes no compute dtype)
+        w, _ = ConvParams((1, 1, bc * 4, bc * 4), name="Conv_0")()
+        out1 = _sf_conv(intra, w, None, 1, 1, 0)
+        w, b = ConvParams((1, 1, bc * 2, bc * 4), bias=True,
+                          name="Conv_1")()
+        intra = _sf_up2(intra) + _sf_conv(conv1, w, b, 1, 1, 0)   # f=2
+        w, _ = ConvParams((3, 3, bc * 4, bc * 2), name="Conv_2")()
+        out2 = _sf_conv(intra, w, None, 3, 1, 1)
+        w, b = ConvParams((1, 1, bc, bc * 4), bias=True, name="Conv_3")()
+        intra = _sf_up2(intra) + _sf_conv(conv0, w, b, 1, 1, 0)   # f=4
+        w, _ = ConvParams((3, 3, bc * 4, bc), name="Conv_4")()
+        out3 = _sf_conv(intra, w, None, 3, 1, 1)
+        return {"stage1": space_unfold(out1), "stage2": space_unfold(out2),
+                "stage3": space_unfold(out3)}
 
 
 class CostRegNet(nn.Module):
@@ -241,6 +316,7 @@ class CascadeMVSNet(nn.Module):
     cr_base_chs: Sequence[int] = (8, 8, 8)
     dtype: object = None           # conv compute dtype (bf16 on TPU)
     folded_convs: bool = True      # depth-folded CostRegNet (layers.Folded)
+    folded_featnet: bool = False   # space-folded FeatureNet (SpaceFolded)
 
     def setup(self):
         # setattr keeps the compact-era param names ("feature",
@@ -249,7 +325,8 @@ class CascadeMVSNet(nn.Module):
         per_view_featnet = nn.vmap(
             FeatureNet, in_axes=0, out_axes=0,
             variable_axes={"params": None}, split_rngs={"params": False})
-        self.feature = per_view_featnet(self.base_channels, self.dtype)
+        self.feature = per_view_featnet(self.base_channels, self.dtype,
+                                        self.folded_featnet)
         for si in range(len(self.ndepths)):
             setattr(self, f"cost_reg_{si}",
                     CostRegNet(self.cr_base_chs[si], self.dtype,

@@ -64,7 +64,8 @@ def make_view_sharded_cascade(mvs, mesh: Mesh, axis: str = "data"):
         imgs_p = (imgs_src if v_pad == V else jnp.concatenate(
             [imgs_src, jnp.zeros((v_pad - V, H, W, 3), imgs_src.dtype)]))
 
-        featnet = FeatureNet(mvs.base_channels, mvs.dtype)
+        featnet = FeatureNet(mvs.base_channels, mvs.dtype,
+                             mvs.folded_featnet)
 
         def featnet_local(params, imgs_local):
             # static per-view loop (a vmapped featnet would also work but
