@@ -35,7 +35,8 @@ def cmd_colmap(ns):
 
 def cmd_dpt(ns):
     from ucnerf_tpu.models.dpt import load_dpt
-    predict = load_dpt(ns.weights)
+    predict = load_dpt(ns.weights,
+                       dtype="bfloat16" if ns.bf16 else None)
     out_dir = os.path.join(ns.scene_dir, "dpt")
     os.makedirs(out_dir, exist_ok=True)
     imgs = sorted(glob.glob(os.path.join(ns.scene_dir, "images/*")))
@@ -51,7 +52,8 @@ def cmd_dpt(ns):
 def cmd_seg(ns):
     from ucnerf_tpu.models.dpt import load_dpt_seg
     from ucnerf_tpu.utils.viz import blend_segmentation
-    predict = load_dpt_seg(ns.weights)
+    predict = load_dpt_seg(ns.weights,
+                           dtype="bfloat16" if ns.bf16 else None)
     out_dir = os.path.join(ns.scene_dir, "seg")
     os.makedirs(out_dir, exist_ok=True)
     imgs = sorted(glob.glob(os.path.join(ns.scene_dir, "images/*")))
@@ -78,10 +80,16 @@ def main(argv=None):
     pd = sub.add_parser("dpt")
     pd.add_argument("scene_dir")
     pd.add_argument("--weights", default=None)
+    pd.add_argument("--bf16", action="store_true",
+                    help="reduced-precision inference (the TPU analogue of "
+                         "the reference's fp16 CUDA DPT)")
     pd.set_defaults(fn=cmd_dpt)
     ps = sub.add_parser("seg")
     ps.add_argument("scene_dir")
     ps.add_argument("--weights", default=None)
+    ps.add_argument("--bf16", action="store_true",
+                    help="reduced-precision inference (the TPU analogue of "
+                         "the reference's fp16 CUDA DPT)")
     ps.set_defaults(fn=cmd_seg)
     ns = parser.parse_args(argv)
     ns.fn(ns)

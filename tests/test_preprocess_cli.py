@@ -21,7 +21,7 @@ def test_dpt_subcommand_writes_npz_per_image(tmp_path, monkeypatch):
         Image.fromarray(arr).save(scene / "images" / f"{name}.png")
 
     # stub the model load: the CLI contract is routing + artifact layout
-    def fake_load_dpt(weights):
+    def fake_load_dpt(weights, dtype=None):
         assert weights == "w.npz"
         return lambda img: img.mean(axis=-1)
 
@@ -44,7 +44,7 @@ def test_seg_subcommand_writes_npz_and_blended_png(tmp_path, monkeypatch):
     arr = rng.integers(0, 255, (24, 30, 3)).astype("uint8")
     Image.fromarray(arr).save(scene / "images" / "a.png")
 
-    def fake_load_dpt_seg(weights):
+    def fake_load_dpt_seg(weights, dtype=None):
         assert weights == "s.npz"
 
         def predict(img):

@@ -100,5 +100,8 @@ def load_lpips(weights_path: Optional[str] = None):
         return None
     data = np.load(weights_path)
     weights = {k: jnp.asarray(data[k]) for k in data.files}
-    fn = jax.jit(lambda a, b: lpips_distance(weights, a, b))
-    return lambda a, b: float(fn(jnp.asarray(a), jnp.asarray(b)))
+    # weights as a jit argument, not a closure: closed-over arrays embed as
+    # HLO constants in every compiled executable (see models/dpt.py, where
+    # the same pattern at DPT scale broke the axon remote-compile service)
+    fn = jax.jit(lpips_distance)
+    return lambda a, b: float(fn(weights, jnp.asarray(a), jnp.asarray(b)))

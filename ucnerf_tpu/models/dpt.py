@@ -61,11 +61,14 @@ def conv2d(x, w, b=None, stride: int = 1, pad: int = 0):
 def ws_conv2d(x, w, stride: int = 1, eps: float = 1e-8):
     """Weight-standardized conv with TF-SAME padding (BiT
     ``WeightStandardizedConv2d``): per-out-channel standardization of the
-    kernel with biased variance."""
+    kernel with biased variance.  Standardization is computed in f32 even
+    when the weights are stored bf16 (the variance is a cancellation-prone
+    reduction), then cast to the activation dtype for the conv."""
     k = w.shape[0]
-    mean = jnp.mean(w, axis=(0, 1, 2), keepdims=True)
-    var = jnp.var(w, axis=(0, 1, 2), keepdims=True)
-    w = (w - mean) * jax.lax.rsqrt(var + eps)
+    wf = w.astype(jnp.float32)
+    mean = jnp.mean(wf, axis=(0, 1, 2), keepdims=True)
+    var = jnp.var(wf, axis=(0, 1, 2), keepdims=True)
+    w = ((wf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
     if stride == 1:
         return conv2d(x, w, stride=1, pad=(k - 1) // 2)
     x = _tf_same_pad(x, k, stride)
@@ -73,30 +76,36 @@ def ws_conv2d(x, w, stride: int = 1, eps: float = 1e-8):
 
 
 def group_norm(x, scale, bias, groups: int = 32, eps: float = 1e-5):
-    """x [H,W,C]; torch GroupNorm semantics."""
+    """x [H,W,C]; torch GroupNorm semantics.  Statistics in f32 (bf16-safe);
+    result returned in the input dtype."""
     h, w, c = x.shape
-    xg = x.reshape(h, w, groups, c // groups)
+    xg = x.astype(jnp.float32).reshape(h, w, groups, c // groups)
     mean = jnp.mean(xg, axis=(0, 1, 3), keepdims=True)
     var = jnp.var(xg, axis=(0, 1, 3), keepdims=True)
     xg = (xg - mean) * jax.lax.rsqrt(var + eps)
-    return xg.reshape(h, w, c) * scale + bias
+    return (xg.reshape(h, w, c) * scale + bias).astype(x.dtype)
 
 
 def layer_norm(x, scale, bias, eps: float = 1e-12):
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    """Statistics in f32 (bf16-safe); result in the input dtype."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps) * scale
+            + bias).astype(x.dtype)
 
 
 def max_pool_same(x, k: int = 3, s: int = 2):
     x = _tf_same_pad(x, k, s)
-    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (k, k, 1),
-                                 (s, s, 1), "VALID")
+    return jax.lax.reduce_window(x, jnp.asarray(-jnp.inf, x.dtype),
+                                 jax.lax.max, (k, k, 1), (s, s, 1), "VALID")
 
 
 def resize_bilinear_ac(x, out_hw):
     """align_corners=True bilinear resize of [H, W, C] (fusion/head
-    upsampling in DPT)."""
+    upsampling in DPT).  Lerp weights are f32, so a bf16 input is
+    interpolated in f32 and cast back to bf16 at return."""
+    dt = x.dtype
     in_h, in_w = x.shape[:2]
     def axis(x, ax, out, in_size):
         if in_size == out:
@@ -108,7 +117,7 @@ def resize_bilinear_ac(x, out_hw):
         return (jnp.take(x, i0, axis=ax) * (1 - t)
                 + jnp.take(x, i1, axis=ax) * t)
     x = axis(x, 0, out_hw[0], in_h)
-    return axis(x, 1, out_hw[1], in_w)
+    return axis(x, 1, out_hw[1], in_w).astype(dt)
 
 
 # ------------------------------------------------------------ BiT backbone
@@ -161,8 +170,9 @@ def _attention(p, prefix, x):
     q = proj("query").reshape(n, N_HEADS, hd).transpose(1, 0, 2)
     k = proj("key").reshape(n, N_HEADS, hd).transpose(1, 0, 2)
     v = proj("value").reshape(n, N_HEADS, hd).transpose(1, 0, 2)
-    att = jax.nn.softmax(
-        jnp.einsum("hnd,hmd->hnm", q, k) / math.sqrt(hd), axis=-1)
+    logits = jnp.einsum("hnd,hmd->hnm", q, k) / math.sqrt(hd)
+    # softmax in f32 regardless of the working dtype (bf16-safe)
+    att = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
     out = jnp.einsum("hnm,hmd->hnd", att, v).transpose(1, 0, 2).reshape(n, c)
     return out @ p[prefix + "attention.output.dense.weight"] \
         + p[prefix + "attention.output.dense.bias"]
@@ -199,10 +209,12 @@ def _readout_project(p, idx, tokens, cls):
 
 
 def batch_norm_inf(x, p, prefix, eps: float = 1e-5):
-    """Inference-mode BatchNorm2d (running statistics)."""
-    scale = p[prefix + "weight"] * jax.lax.rsqrt(
-        p[prefix + "running_var"] + eps)
-    return (x - p[prefix + "running_mean"]) * scale + p[prefix + "bias"]
+    """Inference-mode BatchNorm2d (running statistics; affine math in f32,
+    result in the input dtype)."""
+    scale = p[prefix + "weight"].astype(jnp.float32) * jax.lax.rsqrt(
+        p[prefix + "running_var"].astype(jnp.float32) + eps)
+    return ((x.astype(jnp.float32) - p[prefix + "running_mean"]) * scale
+            + p[prefix + "bias"]).astype(x.dtype)
 
 
 def _pre_act_residual(p, prefix, x):
@@ -230,7 +242,7 @@ def _fusion_layer(p, idx, x, residual=None):
     if residual is not None:
         if residual.shape[:2] != x.shape[:2]:
             from ucnerf_tpu.ops.interpolate import resize_bilinear
-            residual = resize_bilinear(residual, x.shape[:2])
+            residual = resize_bilinear(residual, x.shape[:2]).astype(x.dtype)
         x = x + _pre_act_residual(p, prefix + "residual_layer1.", residual)
     x = _pre_act_residual(p, prefix + "residual_layer2.", x)
     x = resize_bilinear_ac(x, (x.shape[0] * 2, x.shape[1] * 2))
@@ -250,8 +262,10 @@ def _dpt_trunk(p: Dict[str, jnp.ndarray], img):
                                                                  HIDDEN)
     cls = p["dpt.embeddings.cls_token"].reshape(1, HIDDEN)
     x = jnp.concatenate([cls, tokens], axis=0)
+    # the pos-embed resize lerps in f32; cast back to the working dtype
     x = x + _resize_pos_embed(
-        p["dpt.embeddings.position_embeddings"].reshape(-1, HIDDEN), gh, gw)
+        p["dpt.embeddings.position_embeddings"].reshape(-1, HIDDEN),
+        gh, gw).astype(x.dtype)
 
     hooks = {}
     for li in range(N_LAYERS):
@@ -295,7 +309,7 @@ def dpt_forward(p: Dict[str, jnp.ndarray], img):
                            pad=1))
     h = jax.nn.relu(conv2d(h, p["head.head.4.weight"],
                            p["head.head.4.bias"]))
-    return h[..., 0]
+    return h[..., 0].astype(jnp.float32)
 
 
 def dpt_seg_forward(p: Dict[str, jnp.ndarray], img):
@@ -310,10 +324,11 @@ def dpt_seg_forward(p: Dict[str, jnp.ndarray], img):
     h = conv2d(fused, p["head.head.0.weight"], pad=1)
     h = jax.nn.relu(batch_norm_inf(h, p, "head.head.1."))
     h = conv2d(h, p["head.head.4.weight"], p["head.head.4.bias"])
-    return resize_bilinear_ac(h, (h.shape[0] * 2, h.shape[1] * 2))
+    return resize_bilinear_ac(h, (h.shape[0] * 2,
+                                  h.shape[1] * 2)).astype(jnp.float32)
 
 
-def load_dpt_seg(weights_path=None):
+def load_dpt_seg(weights_path=None, dtype=None):
     """Returns predict(img01 [H,W,3] in [0,1]) -> (labels [H,W] int32 in
     [1, num_labels], logits [H,W,num_labels]).
 
@@ -323,25 +338,20 @@ def load_dpt_seg(weights_path=None):
     bicubic, (x-0.5)/0.5 normalization, forward, bicubic
     align_corners=False upsample of the logits back to the input size,
     argmax + 1 (ADE20K labels are 1-based there).
-    """
-    if weights_path is None:
-        weights_path = os.environ.get("UCNERF_DPT_SEG_WEIGHTS",
-                                      "pretrained_weights/dpt_hybrid_seg.npz")
-    if not os.path.exists(weights_path):
-        raise FileNotFoundError(
-            f"DPT seg weights not found at {weights_path}; convert them once "
-            "with ucnerf_tpu.models.dpt.convert_dpt_torch_state_dict")
-    if weights_path.endswith((".pt", ".pth", ".bin")):
-        import torch
-        sd = torch.load(weights_path, map_location="cpu", weights_only=False)
-        params = convert_dpt_torch_state_dict(
-            {k: v.numpy() for k, v in sd.items()})
-    else:
-        data = np.load(weights_path)
-        params = {k: data[k] for k in data.files}
-    params = {k: jnp.asarray(v) for k, v in params.items()}
 
-    fwd = jax.jit(lambda img: dpt_seg_forward(params, img))
+    ``dtype="bfloat16"`` runs the network reduced-precision (the TPU
+    analogue of the reference's fp16 CUDA inference); see
+    ``_load_converted_params``.
+    """
+    params = _load_converted_params(
+        weights_path, "UCNERF_DPT_SEG_WEIGHTS",
+        "pretrained_weights/dpt_hybrid_seg.npz", dtype)
+    in_dt = jnp.dtype(dtype) if dtype else jnp.float32
+
+    # params as a jit ARGUMENT, not a closure: closed-over arrays embed as
+    # HLO constants — ~0.5 GB serialized for DPT-hybrid, which the axon
+    # remote-compile service rejects (HTTP 413) and any backend pays for
+    fwd = jax.jit(dpt_seg_forward)
 
     from ucnerf_tpu.ops.interpolate import resize_bicubic
 
@@ -351,8 +361,8 @@ def load_dpt_seg(weights_path=None):
         net_h, net_w = dpt_input_size(H, W, target=480)
         if (net_h, net_w) != (H, W):
             x = resize_bicubic(x, (net_h, net_w))
-        x = (x - 0.5) / 0.5
-        logits = fwd(x)
+        x = ((x - 0.5) / 0.5).astype(in_dt)
+        logits = fwd(params, x)
         if (net_h, net_w) != (H, W):
             logits = resize_bicubic(logits, (H, W))
         labels = jnp.argmax(logits, axis=-1).astype(jnp.int32) + 1
@@ -362,6 +372,34 @@ def load_dpt_seg(weights_path=None):
 
 
 # ------------------------------------------------------------ weights + API
+def _load_converted_params(weights_path, env_var, default_path, dtype=None):
+    """Load an .npz produced by ``convert_dpt_torch_state_dict`` (or convert
+    a torch checkpoint on the fly).  ``dtype`` (e.g. "bfloat16") casts the
+    float parameters for reduced-precision inference — the analogue of the
+    reference's ``model.half()`` on CUDA (``run_monodepth.py:82-84``); the
+    forward keeps normalization statistics, softmax and the output in f32.
+    """
+    if weights_path is None:
+        weights_path = os.environ.get(env_var, default_path)
+    if not os.path.exists(weights_path):
+        raise FileNotFoundError(
+            f"DPT weights not found at {weights_path}; convert them once "
+            "with ucnerf_tpu.models.dpt.convert_dpt_torch_state_dict")
+    if weights_path.endswith((".pt", ".pth", ".bin")):
+        import torch
+        sd = torch.load(weights_path, map_location="cpu", weights_only=False)
+        params = convert_dpt_torch_state_dict(
+            {k: v.numpy() for k, v in sd.items()})
+    else:
+        data = np.load(weights_path)
+        params = {k: data[k] for k in data.files}
+    dt = jnp.dtype(dtype) if dtype else None
+    return {k: jnp.asarray(v, dt if dt is not None
+                           and np.issubdtype(np.asarray(v).dtype, np.floating)
+                           else None)
+            for k, v in params.items()}
+
+
 def convert_dpt_torch_state_dict(sd) -> Dict[str, np.ndarray]:
     """transformers DPTForDepthEstimation (hybrid) state dict -> our layouts:
     conv (O,I,kh,kw) -> (kh,kw,I,O); linear (O,I) -> (I,O)."""
@@ -405,7 +443,7 @@ def dpt_input_size(h: int, w: int, target: int = 384,
     return new_h, new_w
 
 
-def load_dpt(weights_path=None, metric: bool = True):
+def load_dpt(weights_path=None, metric: bool = True, dtype=None):
     """Returns predict(img01 [H,W,3] in [0,1]) -> depth [H,W].
 
     weights: an .npz produced by ``convert_dpt_torch_state_dict`` (or a torch
@@ -422,25 +460,22 @@ def load_dpt(weights_path=None, metric: bool = True):
     bakes scale/shift/invert into ``DPTDepthModel``), and the depth map is
     bicubically upsampled back to the input resolution (torch bicubic,
     also a=-0.75).
-    """
-    if weights_path is None:
-        weights_path = os.environ.get("UCNERF_DPT_WEIGHTS",
-                                      "pretrained_weights/dpt_hybrid.npz")
-    if not os.path.exists(weights_path):
-        raise FileNotFoundError(
-            f"DPT weights not found at {weights_path}; convert them once "
-            "with ucnerf_tpu.models.dpt.convert_dpt_torch_state_dict")
-    if weights_path.endswith((".pt", ".pth", ".bin")):
-        import torch
-        sd = torch.load(weights_path, map_location="cpu", weights_only=False)
-        params = convert_dpt_torch_state_dict(
-            {k: v.numpy() for k, v in sd.items()})
-    else:
-        data = np.load(weights_path)
-        params = {k: data[k] for k in data.files}
-    params = {k: jnp.asarray(v) for k, v in params.items()}
 
-    fwd = jax.jit(lambda img: dpt_forward(params, img))
+    ``dtype="bfloat16"`` runs the network reduced-precision — the TPU
+    analogue of the reference's fp16 inference (``model.half()``,
+    ``run_monodepth.py:82-84``); normalization statistics, softmax and the
+    output stay f32 (see ``_load_converted_params``).  Measured numbers in
+    BASELINE.md.
+    """
+    params = _load_converted_params(
+        weights_path, "UCNERF_DPT_WEIGHTS",
+        "pretrained_weights/dpt_hybrid.npz", dtype)
+    in_dt = jnp.dtype(dtype) if dtype else jnp.float32
+
+    # params as a jit ARGUMENT, not a closure: closed-over arrays embed as
+    # HLO constants — ~0.5 GB serialized for DPT-hybrid, which the axon
+    # remote-compile service rejects (HTTP 413) and any backend pays for
+    fwd = jax.jit(dpt_forward)
 
     from ucnerf_tpu.ops.interpolate import resize_bicubic
 
@@ -450,8 +485,8 @@ def load_dpt(weights_path=None, metric: bool = True):
         net_h, net_w = dpt_input_size(H, W)
         if (net_h, net_w) != (H, W):
             x = resize_bicubic(x, (net_h, net_w))
-        x = (x - 0.5) / 0.5
-        pred = fwd(x)
+        x = ((x - 0.5) / 0.5).astype(in_dt)
+        pred = fwd(params, x)
         pred = midas_to_metric_depth(pred) if metric else pred
         if (net_h, net_w) != (H, W):
             pred = resize_bicubic(pred, (H, W), h_axis=-2, w_axis=-1)
