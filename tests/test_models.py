@@ -166,6 +166,45 @@ def test_homo_warp_packed_bit_identical():
     assert float(jnp.abs(m1 - mp).max()) == 0.0
 
 
+def test_homo_warp_asym_bwd_pack():
+    """bwd_pack (ops/warp.py::_gather_select_asym): forward bit-identical
+    to the symmetric path, gradient equal to plain AD (same scatter-add
+    values, only the table layout differs)."""
+    import jax
+    import jax.numpy as jnp
+    from ucnerf_tpu.ops.warp import homo_warp
+
+    src = jax.random.normal(jax.random.PRNGKey(0), (64, 80, 8))
+    proj = jnp.eye(3, 4) + 1e-2 * jax.random.normal(jax.random.PRNGKey(1),
+                                                    (3, 4))
+    dvals = jnp.broadcast_to(jnp.linspace(0.8, 2.5, 6)[:, None, None],
+                             (6, 64, 80))
+
+    def loss(s, **kw):
+        w, m = homo_warp(s, proj, dvals, **kw)
+        return jnp.sum(jnp.sin(w) * 0.1) + jnp.sum(m)
+
+    w1, m1 = homo_warp(src, proj, dvals)
+    g1 = jax.grad(loss)(src)
+    for fp, bp in [(1, 2), (1, 4), (2, 4), (4, 1), (4, 8)]:
+        wa, ma = homo_warp(src, proj, dvals, pack=fp, bwd_pack=bp)
+        assert float(jnp.abs(w1 - wa).max()) == 0.0, (fp, bp)
+        assert float(jnp.abs(m1 - ma).max()) == 0.0, (fp, bp)
+        ga = jax.grad(loss)(src, pack=fp, bwd_pack=bp)
+        assert float(jnp.abs(g1 - ga).max()) < 1e-6, (fp, bp)
+    # padded target grid through the asym path too
+    dvals_p = jnp.broadcast_to(jnp.linspace(0.8, 2.5, 6)[:, None, None],
+                               (6, 68, 84))
+
+    def loss_p(s, **kw):
+        w, m = homo_warp(s, proj, dvals_p, pad=2, **kw)
+        return jnp.sum(jnp.sin(w) * 0.1) + jnp.sum(m)
+
+    gp1 = jax.grad(loss_p)(src)
+    gpa = jax.grad(loss_p)(src, pack=1, bwd_pack=4)
+    assert float(jnp.abs(gp1 - gpa).max()) < 1e-6
+
+
 def test_cascade_features_split_exact(tiny_cfg):
     """features() + from_features() == __call__ bit-for-bit.
 

@@ -19,12 +19,89 @@ on the normalized coordinate).
 
 from __future__ import annotations
 
+from functools import partial
+
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
 
+def _gather_select_impl(src_feat, iyi, ixi, pack: int):
+    """The warp's source-row gather (+ one-hot select when pack > 1)."""
+    H, W = src_feat.shape[:2]
+    C = src_feat.shape[-1]
+    if pack > 1:
+        packed = src_feat.reshape(H * (W // pack), pack * C)
+        pidx = iyi * (W // pack) + ixi // pack
+        rows = jnp.take(packed, pidx, axis=0)    # [D,Hp,Wp,pack*C]
+        rows = rows.reshape(*iyi.shape, pack, C)
+        # one-hot select, not take_along_axis (which lowers to a second
+        # per-element gather storm)
+        onehot = jax.nn.one_hot(ixi % pack, pack, dtype=src_feat.dtype)
+        return jnp.einsum("dhwp,dhwpc->dhwc", onehot, rows)
+    idx = iyi * W + ixi                           # [D, H_pad, W_pad]
+    return jnp.take(src_feat.reshape(H * W, C), idx, axis=0)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _gather_select_asym(src_feat, iyi, ixi, src_shape: tuple,
+                        fwd_pack: int, bwd_pack: int):
+    """Gather with decoupled forward/backward pack factors.
+
+    Forward is bit-identical to ``_gather_select_impl(..., fwd_pack)``.
+    The hand-written VJP scatters the cotangent into a ``bwd_pack``-packed
+    table layout: the scatter-add engine (8.7 ns/row parallel-issue floor,
+    ~3x a gather row — BASELINE.md round-3) has its own row-width optimum,
+    which need not match the forward gather's.  Values equal to the AD
+    backward up to scatter-add float association order.
+
+    MEASURED VERDICT (v5e, ``scripts/bench_warp_pack_decomp.py``): no
+    asymmetric combination beats the symmetric defaults at any cascade
+    stage — the scatter's optimal pack equals the gather's (stage-1/2
+    pack-1, stage-3 pack-4).  Production keeps ``bwd_pack=None``; this
+    path stays as the measured-closed experiment (see BASELINE.md).
+
+    ``src_shape`` = (H, W, C) static ints (shape info for the bwd rule).
+    """
+    return _gather_select_impl(src_feat, iyi, ixi, fwd_pack)
+
+
+def _gather_select_asym_fwd(src_feat, iyi, ixi, src_shape, fwd_pack,
+                            bwd_pack):
+    out = _gather_select_impl(src_feat, iyi, ixi, fwd_pack)
+    return out, (iyi, ixi)
+
+
+def _gather_select_asym_bwd(src_shape, fwd_pack, bwd_pack, res, ct):
+    iyi, ixi = res
+    H, W, C = src_shape
+    p = bwd_pack
+    if p > 1:
+        # place each cotangent row in its lane of a pack-wide row, then
+        # scatter-add into the packed table: same row count, p*C-wide rows
+        # targeting an Hx(W/p) table
+        onehot = jax.nn.one_hot(ixi % p, p, dtype=ct.dtype)   # [D,Hp,Wp,p]
+        rows = (onehot[..., None] * ct[..., None, :]).reshape(
+            *ct.shape[:-1], p * C)
+        pidx = (iyi * (W // p) + ixi // p).reshape(-1)
+        table = jnp.zeros((H * (W // p), p * C), ct.dtype)
+        table = table.at[pidx].add(rows.reshape(-1, p * C))
+        dsrc = table.reshape(H, W, C)
+    else:
+        idx = (iyi * W + ixi).reshape(-1)
+        table = jnp.zeros((H * W, C), ct.dtype)
+        table = table.at[idx].add(ct.reshape(-1, C))
+        dsrc = table.reshape(H, W, C)
+    zero_i = np.zeros(iyi.shape, dtype=jax.dtypes.float0)
+    return dsrc, zero_i, zero_i
+
+
+_gather_select_asym.defvjp(_gather_select_asym_fwd, _gather_select_asym_bwd)
+
+
 def homo_warp(src_feat, proj_mat, depth_values, pad: int = 0,
-              pack: int = 1):
+              pack: int = 1, bwd_pack: int | None = None):
     """Warp one source feature map into the target frustum's plane sweep.
 
     Args:
@@ -40,6 +117,10 @@ def homo_warp(src_feat, proj_mat, depth_values, pad: int = 0,
         (tested).  Measured: pays only for narrow channels — pack=4 at C=8
         is 1.5x faster fwd+bwd; wider C loses (rows leave the issue-bound
         sweet spot).  Requires W % pack == 0.
+      bwd_pack: if set (and != pack), decouple the BACKWARD scatter's pack
+        factor from the forward gather's via ``_gather_select_asym`` —
+        forward bit-identical, backward scatters ``bwd_pack*C``-wide rows
+        into an H x (W/bwd_pack) table.  None = plain AD (default).
     """
     H, W = src_feat.shape[:2]
     D, H_pad, W_pad = depth_values.shape
@@ -72,20 +153,11 @@ def homo_warp(src_feat, proj_mat, depth_values, pad: int = 0,
     ixi = ix.astype(jnp.int32)
     iyi = iy.astype(jnp.int32)
 
-    if pack > 1:
-        assert W % pack == 0, (W, pack)
-        C = src_feat.shape[-1]
-        packed = src_feat.reshape(H * (W // pack), pack * C)
-        pidx = iyi * (W // pack) + ixi // pack
-        rows = jnp.take(packed, pidx, axis=0)    # [D,Hp,Wp,pack*C]
-        rows = rows.reshape(D, H_pad, W_pad, pack, C)
-        # one-hot select, not take_along_axis (which lowers to a second
-        # per-element gather storm)
-        onehot = jax.nn.one_hot(ixi % pack, pack, dtype=src_feat.dtype)
-        warped = jnp.einsum("dhwp,dhwpc->dhwc", onehot, rows)
-        return warped, in_mask.astype(src_feat.dtype)
-
-    idx = iyi * W + ixi                                      # [D, H_pad, W_pad]
-    flat = src_feat.reshape(H * W, -1)
-    warped = jnp.take(flat, idx, axis=0)                     # [D,H_pad,W_pad,C]
+    assert pack == 1 or W % pack == 0, (W, pack)
+    if bwd_pack is not None and bwd_pack != pack:
+        assert W % bwd_pack == 0, (W, bwd_pack)
+        warped = _gather_select_asym(
+            src_feat, iyi, ixi, (H, W, src_feat.shape[-1]), pack, bwd_pack)
+    else:
+        warped = _gather_select_impl(src_feat, iyi, ixi, pack)
     return warped, in_mask.astype(src_feat.dtype)
