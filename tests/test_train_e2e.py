@@ -263,10 +263,12 @@ def test_scan_steps_match_sequential(cfg, dataset):
                                float(metrics_b["loss"]), rtol=2e-2)
     # scan-context compilation reorders fp ops vs the standalone step;
     # near-zero gradients then flip sign under Adam (update ~ lr*sign(g)),
-    # so elements can differ by ~lr — same bound as test_parallel uses.
+    # and a flipped element can diverge by up to 2*lr at EACH of the K
+    # steps — so the bound scales with K (test_parallel's 3*lr is the
+    # one-step form; observed here: 3.08*lr after K=3 steps).
     for a, b in zip(jax.tree.leaves(state_a.params),
                     jax.tree.leaves(state_b.params)):
-        assert np.abs(np.asarray(a) - np.asarray(b)).max() <= 3 * cfg.lrate
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() <= 2 * K * cfg.lrate
 
 
 def test_finetune_freezes_mvs_and_keeps_nerf_grads(cfg, dataset):
