@@ -10,7 +10,11 @@ it in production (the caller contract change — the input state is dead
 after the call — is only worth it for a measured win or for models big
 enough that the footprint matters).
 
-Methodology per BASELINE.md: value-fetch sync, interleaved A/B, medians.
+Both arms come from the SAME factory (``make_train_step_scan(donate=...)``)
+so the A/B always measures the production scan body.  Methodology per
+BASELINE.md: value-fetch sync, interleaved A/B, medians; the [K] key
+batches are precomputed outside the timed region so ms/step reflects only
+the scan dispatch.
 """
 
 import os
@@ -33,31 +37,11 @@ import jax.numpy as jnp
 from ucnerf_tpu.config import Config
 from ucnerf_tpu.models.factory import create_models, init_params
 from ucnerf_tpu.train.loop import (TrainState, make_optimizer,
-                                   make_train_step_scan, to_device_batch,
-                                   _make_loss_fn)
-import optax
+                                   make_train_step_scan, to_device_batch)
 
 H, W = 256, 320
 WARMUP = 6
 ITERS = 12
-
-
-def make_scan_donated(cfg, nerf, mvs, tx):
-    loss_fn = _make_loss_fn(cfg, nerf, mvs)
-
-    @lambda f: jax.jit(f, donate_argnums=0)
-    def train_steps(state, batches, keys):
-        def one(st, bk):
-            b, k = bk
-            (_, metrics), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(st.params, b, k)
-            updates, opt_state = tx.update(grads, st.opt_state, st.params)
-            params = optax.apply_updates(st.params, updates)
-            return TrainState(params, opt_state, st.step + 1), metrics
-        state, ms = jax.lax.scan(one, state, (batches, keys))
-        return state, jax.tree.map(lambda x: x[-1], ms)
-
-    return train_steps
 
 
 def main():
@@ -74,30 +58,32 @@ def main():
     batch = to_device_batch(ds[0])
     batches = jax.tree.map(lambda x: jnp.stack([x] * K), batch)
 
-    plain = make_train_step_scan(cfg, nerf, mvs, tx)
-    donated = make_scan_donated(cfg, nerf, mvs, tx)
+    fns = {"plain": make_train_step_scan(cfg, nerf, mvs, tx),
+           "donated": make_train_step_scan(cfg, nerf, mvs, tx, donate=True)}
 
     def fresh_state():
         params = init_params(cfg, jax.random.PRNGKey(0), (H, W))
         return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
 
-    states = {"plain": fresh_state(), "donated": fresh_state()}
-    fns = {"plain": plain, "donated": donated}
+    states = {name: fresh_state() for name in fns}
+    # precompute every [K] key batch so the split's host/device dispatch
+    # cost never lands inside a timed region (ADVICE round-3)
     key = jax.random.PRNGKey(1)
-    for _ in range(WARMUP):
+    key_batches = []
+    for _ in range(WARMUP + ITERS):
         key, sub = jax.random.split(key)
+        key_batches.append(jax.block_until_ready(jax.random.split(sub, K)))
+
+    for keys in key_batches[:WARMUP]:
         for name in fns:
-            states[name], m = fns[name](states[name], batches,
-                                        jax.random.split(sub, K))
+            states[name], m = fns[name](states[name], batches, keys)
             float(m["loss"])
 
-    times = {"plain": [], "donated": []}
-    for _ in range(ITERS):  # interleaved (axon settling window)
-        key, sub = jax.random.split(key)
+    times = {name: [] for name in fns}
+    for keys in key_batches[WARMUP:]:  # interleaved (axon settling window)
         for name in fns:
             t0 = time.perf_counter()
-            states[name], m = fns[name](states[name], batches,
-                                        jax.random.split(sub, K))
+            states[name], m = fns[name](states[name], batches, keys)
             float(m["loss"])
             times[name].append(time.perf_counter() - t0)
 

@@ -204,3 +204,97 @@ def test_ssim_matches_torch_reference_impl(rng):
                 1).astype(np.float32)
     np.testing.assert_allclose(float(ssim(x, y)), torch_ssim(x, y),
                                rtol=1e-4)
+
+
+def test_params_npz_roundtrip(tmp_path, params):
+    path = str(tmp_path / "params.npz")
+    cio.save_params_npz(params, path)
+    back = cio.load_params_npz(path)
+    _trees_equal(params, back)
+
+
+def test_convert_weights_cli_ucnerf_and_casmvsnet(tmp_path, params):
+    """convert_weights.py: ucnerf.tar -> npz (both trees) and a bare
+    casmvsnet.ckpt ({'model': sd}, the reference's downloaded format,
+    network/models.py:240-248) -> mvs-only npz that seeds init params."""
+    import torch
+    import convert_weights as cw
+
+    sd_nerf = {k: torch.from_numpy(np.asarray(v)) for k, v in
+               cio.export_nerf_state_dict(params["nerf"]).items()}
+    sd_mvs = {k: torch.from_numpy(np.asarray(v)) for k, v in
+              cio.export_casmvsnet_state_dict(params["mvs"]).items()}
+
+    tar = str(tmp_path / "ucnerf.tar")
+    torch.save({"network_fn_state_dict": sd_nerf,
+                "network_mvs_state_dict": sd_mvs}, tar)
+    out = cw.main(["ucnerf", tar, str(tmp_path / "ucnerf.npz")])
+    back = cio.load_params_npz(out)
+    _trees_equal(params["nerf"], back["nerf"])
+    _trees_equal(params["mvs"], back["mvs"])
+
+    ckpt = str(tmp_path / "casmvsnet.ckpt")
+    torch.save({"model": sd_mvs}, ckpt)
+    out = cw.main(["casmvsnet", ckpt, str(tmp_path / "casmvsnet.npz")])
+    back = cio.load_params_npz(out)
+    assert set(back) == {"mvs"}
+    _trees_equal(params["mvs"], back["mvs"])
+    # the --ckpt merge contract: mvs-only npz overrides ONLY the mvs tree
+    merged = {**params, **back}
+    _trees_equal(merged["mvs"], params["mvs"])
+    assert merged["nerf"] is params["nerf"]
+
+    # convert_reference_checkpoint also takes the bare ckpt directly
+    conv = cio.convert_reference_checkpoint(ckpt)
+    assert set(conv) == {"mvs"}
+    with pytest.raises(ValueError, match="unrecognized"):
+        bad = str(tmp_path / "bad.tar")
+        torch.save({"something": 1}, bad)
+        cio.convert_reference_checkpoint(bad)
+
+
+def test_convert_weights_cli_lpips(tmp_path):
+    """lpips kind: a state dict shaped like torch lpips.LPIPS(net='alex')
+    converts to an npz that load_lpips accepts and evaluates."""
+    import torch
+    import convert_weights as cw
+    from ucnerf_tpu.eval.lpips import load_lpips
+
+    chans = [(3, 64, 11), (64, 192, 5), (192, 384, 3), (384, 256, 3),
+             (256, 256, 3)]
+    conv_ids = [0, 3, 6, 8, 10]
+    rng = np.random.RandomState(0)
+    sd = {}
+    for i, ((ci, co, k), cid) in enumerate(zip(chans, conv_ids)):
+        sd[f"net.slice{i+1}.{cid}.weight"] = torch.from_numpy(
+            rng.randn(co, ci, k, k).astype(np.float32))
+        sd[f"net.slice{i+1}.{cid}.bias"] = torch.from_numpy(
+            rng.randn(co).astype(np.float32))
+        sd[f"lins.{i}.model.1.weight"] = torch.from_numpy(
+            np.abs(rng.randn(1, co, 1, 1)).astype(np.float32))
+    pth = str(tmp_path / "lpips_alex.pth")
+    torch.save(sd, pth)
+    out = cw.main(["lpips", pth, str(tmp_path / "lpips_alex.npz")])
+    fn = load_lpips(out)
+    a = rng.rand(64, 64, 3).astype(np.float32)
+    b = rng.rand(64, 64, 3).astype(np.float32)
+    d_ab = fn(a, b)
+    assert np.isfinite(d_ab) and d_ab > 0
+    assert abs(fn(a, a)) < 1e-6
+
+
+def test_convert_weights_cli_dpt(tmp_path):
+    """dpt kind: torch-layout state dict file -> npz with our layouts."""
+    import torch
+    import convert_weights as cw
+
+    sd = {"x.weight": torch.zeros(8, 4, 3, 3),
+          "y.weight": torch.zeros(8, 4),
+          "z.bias": torch.zeros(8)}
+    pth = str(tmp_path / "dpt.bin")
+    torch.save(sd, pth)
+    out = cw.main(["dpt", pth, str(tmp_path / "dpt.npz")])
+    data = np.load(out)
+    assert data["x.weight"].shape == (3, 3, 4, 8)
+    assert data["y.weight"].shape == (4, 8)
+    assert data["z.bias"].shape == (8,)

@@ -311,3 +311,141 @@ def test_finetune_freezes_mvs_and_keeps_nerf_grads(cfg, dataset):
     assert any(float(jnp.abs(a - b).max()) > 0
                for a, b in zip(jax.tree.leaves(params["nerf"]),
                                jax.tree.leaves(state.params["nerf"])))
+
+
+def test_mvs_only_pretrains_consistency_learner(cfg, dataset):
+    """--mvs_only (from-scratch Consistency-Learner bootstrap): optimizing
+    cas_mvsnet_loss alone must (a) reduce the supervised depth error on a
+    fixed scene, (b) leave the NeRF tree bit-identical (its grads are
+    structurally zero), and (c) produce MVS weights that a full --ckpt
+    run can resume.  Replaces the reference's hardcoded casmvsnet.ckpt
+    download (network/models.py:240-248) with an in-tree path."""
+    c = cfg.replace(mvs_only=True, lrate=1e-3)
+    nerf, mvs = create_models(c)
+    params = init_params(c, jax.random.PRNGKey(0), (32, 64))
+    tx = make_optimizer(c, steps_per_epoch=len(dataset))
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step = make_train_step(c, nerf, mvs, tx)
+    batch = to_device_batch(dataset[0])
+    key = jax.random.PRNGKey(3)
+    errs = []
+    for _ in range(40):
+        key, sub = jax.random.split(key)
+        state, m = step(state, batch, sub)
+        errs.append(float(m["depth_abs"]))
+    assert np.isfinite(errs).all()
+    assert errs[-1] < errs[0] * 0.7, (errs[0], errs[-1])
+
+    # NeRF untouched, MVS trained
+    for a, b in zip(jax.tree.leaves(params["nerf"]),
+                    jax.tree.leaves(state.params["nerf"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert any(float(jnp.abs(a - b).max()) > 0
+               for a, b in zip(jax.tree.leaves(params["mvs"]),
+                               jax.tree.leaves(state.params["mvs"])))
+
+    # the full objective resumes from the pretrained tree and is finite
+    step_full = make_train_step(cfg, nerf, mvs,
+                                make_optimizer(cfg, steps_per_epoch=4))
+    tx_full = make_optimizer(cfg, steps_per_epoch=4)
+    state2 = TrainState(state.params, tx_full.init(state.params),
+                        jnp.zeros((), jnp.int32))
+    state2, m2 = step_full(state2, batch, jax.random.PRNGKey(9))
+    assert np.isfinite(float(m2["loss"]))
+
+
+def test_mvs_only_cli_guards_and_validation(tmp_path, cfg, dataset):
+    """--mvs_only config guards + the depth-only validator path."""
+    import train as train_cli
+
+    with pytest.raises(ValueError, match="finetune"):
+        train_cli.main(["--dataset_name", "synthetic", "--mvs_only",
+                        "--finetune", "s0", "--num_epochs", "1"])
+    with pytest.raises(ValueError, match="scenes"):
+        train_cli.main(["--dataset_name", "synthetic", "--mvs_only",
+                        "--mesh_shape", "2", "--parallel_mode", "rays",
+                        "--num_epochs", "1"])
+
+    c = cfg.replace(mvs_only=True, basedir=str(tmp_path), expname="mvsonly",
+                    datadir="")
+    nerf, mvs = create_models(c)
+    params = init_params(c, jax.random.PRNGKey(0), (32, 64))
+    v = train_cli.Validator(c, nerf, mvs)
+    metrics = v(params, 0)
+    assert set(metrics) == {"abs_rel", "sq_rel", "rmse", "rmse_log",
+                            "a1", "a2", "a3"}
+    assert np.isfinite(list(metrics.values())).all()
+    assert (tmp_path / "mvsonly" / "test_results"
+            / "mvs_evaluation.txt").exists()
+
+
+def test_scan_donation_matches_plain(cfg, dataset):
+    """make_train_step_scan(donate=True) aliases the state buffers but must
+    be numerically identical to the undonated scan."""
+    from ucnerf_tpu.train.loop import make_train_step_scan
+
+    K = 2
+    samples = [dataset[i] for i in range(K)]
+    nerf, mvs = create_models(cfg)
+    params = init_params(cfg, jax.random.PRNGKey(0), (32, 64))
+    tx = make_optimizer(cfg, steps_per_epoch=len(dataset))
+    keys = jax.random.split(jax.random.PRNGKey(5), K)
+    stacked = to_device_batch(
+        jax.tree.map(lambda *xs: np.stack(xs), *samples))
+
+    outs = {}
+    for donate in (False, True):
+        st = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+        f = make_train_step_scan(cfg, nerf, mvs, tx, donate=donate)
+        st, m = f(st, stacked, keys)
+        outs[donate] = (float(m["loss"]), st)
+    assert outs[False][0] == outs[True][0]
+    for a, b in zip(jax.tree.leaves(outs[False][1].params),
+                    jax.tree.leaves(outs[True][1].params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_kill_resume_bit_identical(tmp_path):
+    """Exact resume: a run killed after 2 epochs and resumed from its orbax
+    checkpoint must land on the SAME final parameters as an uninterrupted
+    run — every randomness source (epoch shuffle, dispatch keys, dataset
+    sample draws) is stateless in (seed, epoch, step), so nothing is
+    replayed or skipped.  The reference cannot do this at all (optimizer
+    state never saved, train.py:404-413)."""
+    import train as train_cli
+    from ucnerf_tpu.utils import checkpoint_io
+
+    args = ["--dataset_name", "synthetic", "--view_num", "4",
+            "--N_samples", "9", "--batch_size", "80", "--patch_size", "4",
+            "--patch_num", "4", "--n_depth_rays", "32", "--chunk", "256",
+            "--samples_per_scene", "4", "--steps_per_dispatch", "2",
+            "--lrate", "5e-4", "--val_every_epochs", "9", "--seed", "11"]
+
+    def final_state(expname, extra):
+        base = str(tmp_path)
+        train_cli.main(args + ["--basedir", base, "--expname", expname]
+                       + extra)
+        ckpts = sorted((tmp_path / expname / "ckpts").iterdir(),
+                       key=lambda p: int(p.name.split("_")[1]))
+        cfg = Config(dataset_name="synthetic", view_num=4, N_samples=9,
+                     batch_size=80, patch_size=4, patch_num=4,
+                     n_depth_rays=32)
+        nerf, mvs = create_models(cfg)
+        params = init_params(cfg, jax.random.PRNGKey(0), (32, 64))
+        tx = make_optimizer(cfg, steps_per_epoch=4)
+        target = TrainState(params, tx.init(params),
+                            jnp.zeros((), jnp.int32))
+        return checkpoint_io.load_checkpoint(str(ckpts[-1]), target)
+
+    sA = final_state("uninterrupted", ["--num_epochs", "4"])
+    # "kill" the run mid-way: same --num_epochs (the cosine schedule's
+    # T_max depends on it), halted cleanly at a dispatch boundary
+    sB_half = final_state("resumed", ["--num_epochs", "4",
+                                      "--stop_after_steps", "8"])
+    assert int(sB_half.step) == 8
+    ck = sorted((tmp_path / "resumed" / "ckpts").iterdir())[-1]
+    sB = final_state("resumed", ["--num_epochs", "4", "--ckpt", str(ck)])
+
+    assert int(sA.step) == int(sB.step) == 16
+    for a, b in zip(jax.tree.leaves(sA.params), jax.tree.leaves(sB.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

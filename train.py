@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 
 import numpy as np
 
@@ -50,6 +51,24 @@ class Validator:
         self.cfg = cfg
         self.val_ds = build_dataset(cfg, "val")
         H, W = self.val_ds.img_wh[1], self.val_ds.img_wh[0]
+        if cfg.mvs_only:
+            # depth-only validation: Consistency-Learner forward, no NeRF
+            import jax as _jax
+
+            @_jax.jit
+            def mvs_depth(params, batch):
+                near = batch["near_fars"][0, 0]
+                far = batch["near_fars"][0, 1]
+                out = mvs.apply({"params": params["mvs"]},
+                                batch["images"][1:], batch["affine_mat"],
+                                batch["affine_mat_inv"], near, far,
+                                pad=cfg.pad)
+                return (out["stage3"]["depth"],
+                        out["stage3"]["photometric_confidence"])
+            self.mvs_depth = mvs_depth
+            self.render_view = None
+            self._lpips_fn = None
+            return
         if mesh is not None and int(np.prod(cfg.mesh_shape)) > 1:
             from ucnerf_tpu.parallel.sharding import make_parallel_eval_render
             # shard eval tiles over ALL mesh axes (a 2D grid mesh still
@@ -62,15 +81,60 @@ class Validator:
 
     @property
     def lpips_fn(self):
-        if self._lpips_fn is None:
+        if self._lpips_fn is None and not getattr(self, "_lpips_tried",
+                                                  False):
+            self._lpips_tried = True
             self._lpips_fn = load_lpips()
+            if self._lpips_fn is None:
+                print(
+                    "WARNING: LPIPS weights not found "
+                    "(pretrained_weights/lpips_alex.npz or "
+                    "$UCNERF_LPIPS_WEIGHTS) — the LPIPS column of the eval "
+                    "table will be nan, NOT a bug.  Convert once with:\n"
+                    "  python convert_weights.py lpips "
+                    "<lpips_alex_state.pth> pretrained_weights/"
+                    "lpips_alex.npz\n"
+                    "(save the state on any machine with the lpips "
+                    "package: torch.save(lpips.LPIPS(net='alex')"
+                    ".state_dict(), 'lpips_alex.pth'))", file=sys.stderr)
         return self._lpips_fn
 
     def __call__(self, params, step_idx: int):
+        if self.cfg.mvs_only:
+            return run_mvs_validation(self.cfg, self, params, step_idx)
         return run_validation(self.cfg, self, params, step_idx)
 
 
+def run_mvs_validation(cfg, validator: Validator, params, step_idx: int):
+    """--mvs_only validation: MVS depth vs GT depth over the val split
+    (the depth half of the reference's validation_step,
+    ``train.py:238-243`` + ``utils/evaluation.py:29-74``)."""
+    val_ds = validator.val_ds
+    out_dir = os.path.join(cfg.basedir, cfg.expname, "test_results")
+    os.makedirs(out_dir, exist_ok=True)
+    samples, pending = [], []
+    for i in range(len(val_ds)):
+        sample = val_ds[i]
+        samples.append(sample)
+        pending.append(validator.mvs_depth(params, to_device_batch(sample)))
+    gt_depths = np.stack([s["depths_h"] for s in samples])
+    pred = np.stack([np.asarray(d) for d, _ in pending])
+    masks = (gt_depths > 0).astype(np.float32)
+    names = ["abs_rel", "sq_rel", "rmse", "rmse_log", "a1", "a2", "a3"]
+    metrics = {}
+    if masks.any():
+        derr = depth_evaluation(gt_depths, pred, masks)
+        metrics = dict(zip(names, np.asarray(derr).tolist()))
+        print("mvs_only depth:",
+              ", ".join(f"{n}: {v:.4f}" for n, v in metrics.items()))
+    with open(os.path.join(out_dir, "mvs_evaluation.txt"), "w") as fh:
+        fh.write(json.dumps(metrics, indent=1))
+    return metrics
+
+
 def run_validation(cfg, validator: Validator, params, step_idx: int):
+    import time
+    t_val = time.perf_counter()
     val_ds = validator.val_ds
     render_view = validator.render_view
     out_dir = os.path.join(cfg.basedir, cfg.expname, "test_results")
@@ -128,11 +192,23 @@ def run_validation(cfg, validator: Validator, params, step_idx: int):
         metrics.update(dict(zip(names, derr.tolist())))
     with open(os.path.join(out_dir, "rgb_evaluation.txt"), "w") as fh:
         fh.write(json.dumps(metrics, indent=1))
+    wall = time.perf_counter() - t_val
+    print(f"validation: {len(val_ds)} views in {wall:.2f}s "
+          f"({wall / max(len(val_ds), 1) * 1e3:.0f} ms/view incl. "
+          "panels+metrics)")
     return metrics
 
 
 def main(argv=None):
     cfg = parse_config(argv)
+    if cfg.mvs_only:
+        if cfg.finetune is not None:
+            raise ValueError("--mvs_only trains ONLY the MVS net; "
+                             "--finetune freezes it — pick one")
+        if (int(np.prod(cfg.mesh_shape)) > 1
+                and cfg.parallel_mode != "scenes"):
+            raise ValueError("--mvs_only has no rays to shard; use "
+                             "--parallel_mode scenes for multi-chip")
     if cfg.debug_nans:
         from ucnerf_tpu.utils.profiling import enable_debug_nans
         enable_debug_nans()
@@ -148,7 +224,16 @@ def main(argv=None):
     params = init_params(cfg, key, (H, W))
     if cfg.ckpt:
         if cfg.ckpt.endswith((".tar", ".ckpt", ".pth")):
-            params = checkpoint_io.convert_reference_checkpoint(cfg.ckpt)
+            # merge over the initialized trees: a ucnerf.tar replaces both
+            # nets, a bare casmvsnet.ckpt seeds ONLY the MVS tree (the
+            # reference's bootstrap, network/models.py:240-248) and any
+            # extra collections (appearance) keep their init
+            conv = checkpoint_io.convert_reference_checkpoint(cfg.ckpt)
+            params = {**params,
+                      **jax.tree.map(jnp.asarray, conv)}
+        elif cfg.ckpt.endswith(".npz"):
+            conv = checkpoint_io.load_params_npz(cfg.ckpt)
+            params = {**params, **jax.tree.map(jnp.asarray, conv)}
         else:
             tx0 = make_optimizer(cfg, steps_per_epoch=len(train_ds))
             target = TrainState(params, tx0.init(params),
@@ -169,7 +254,7 @@ def main(argv=None):
 
     tx = make_optimizer(cfg, steps_per_epoch=len(train_ds))
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
-    if cfg.ckpt and not cfg.ckpt.endswith((".tar", ".ckpt", ".pth")):
+    if cfg.ckpt and not cfg.ckpt.endswith((".tar", ".ckpt", ".pth", ".npz")):
         # orbax checkpoints resume the FULL state (params + optimizer + step)
         state = checkpoint_io.load_checkpoint(cfg.ckpt, state)
         print(f"resumed full train state at step {int(state.step)}")
@@ -244,8 +329,63 @@ def main(argv=None):
                 if scene_dp else 1)
     scenes_per_step = n_scenes
     K = cfg.steps_per_dispatch
-    for epoch in range(cfg.num_epochs):
-        order = np.random.permutation(len(train_ds))
+
+    def _dispatch_counts(n):
+        """Per-dispatch step counts for one epoch — must mirror the loader
+        grouping below (used to fast-position a resumed run)."""
+        if scene_dp:
+            group = K * n_scenes
+            n_groups = n // group if K > 1 else 0
+            tail = n - n_groups * group
+            n_tail = (tail - n_scenes) // n_scenes + 1 if tail >= n_scenes \
+                else 0
+            return [K] * n_groups + [1] * n_tail
+        if K > 1:
+            n_groups = n // K
+            return [K] * n_groups + [1] * (n - n_groups * K)
+        return [1] * n
+
+    # Exact resume: every source of randomness is stateless —
+    # - epoch shuffle: rng seeded by (cfg.seed, epoch);
+    # - per-dispatch device keys: fold_in(key, global_step);
+    # - per-sample dataset draws: (dataset seed, epoch, idx) via set_epoch —
+    # so a run killed and resumed from an orbax checkpoint replays NOTHING
+    # and continues bit-identically to an uninterrupted run (tested).  The
+    # reference restarts from scratch on crash (no optimizer state saved,
+    # train.py:404-413).
+    start_epoch, skip_dispatches = 0, 0
+    if global_step > 0:
+        done, start_epoch = 0, cfg.num_epochs   # fully-trained fallthrough
+        for ep in range(cfg.num_epochs):
+            counts = _dispatch_counts(len(train_ds))
+            if done + sum(counts) <= global_step:
+                done += sum(counts)
+                continue
+            nd = 0
+            for c in counts:
+                if done + c <= global_step:
+                    done += c
+                    nd += 1
+                else:
+                    break
+            if done != global_step:
+                raise ValueError(
+                    f"cannot resume at step {global_step}: not on a "
+                    f"dispatch boundary for steps_per_dispatch={K} "
+                    f"({sum(counts)} steps/epoch) — resume with the "
+                    "original --steps_per_dispatch/--samples_per_scene")
+            start_epoch, skip_dispatches = ep, nd
+            break
+        if start_epoch > 0 or skip_dispatches > 0:
+            print(f"resume: continuing at epoch {start_epoch}, "
+                  f"dispatch {skip_dispatches} (step {global_step})")
+
+    for epoch in range(start_epoch, cfg.num_epochs):
+        if hasattr(train_ds, "set_epoch"):
+            train_ds.set_epoch(epoch)
+        order = np.random.default_rng(np.random.SeedSequence(
+            [cfg.seed % 2 ** 32, 1 + epoch])).permutation(len(train_ds))
+        skip = skip_dispatches if epoch == start_epoch else 0
         if scene_dp:
             from ucnerf_tpu.parallel.sharding import (shard_scene_batch,
                                                       shard_scene_batch_scan,
@@ -275,7 +415,7 @@ def main(argv=None):
                     lambda x: x.reshape(K, n_scenes, *x.shape[1:]), b)
                 return ("scan", shard_scene_batch_scan(b, mesh))
             loader = ThreadPrefetcher(
-                (lambda g=g: load_group(g) for g in items), depth=2)
+                (lambda g=g: load_group(g) for g in items[skip:]), depth=2)
         elif K > 1:
             # K steps per dispatch (lax.scan): group the epoch order,
             # stacking K samples per host call; the tail that doesn't fill
@@ -292,13 +432,15 @@ def main(argv=None):
             items = [order[i * K:(i + 1) * K] for i in range(n_groups)]
             items += [[j] for j in order[n_groups * K:]]
             loader = ThreadPrefetcher(
-                (lambda g=g: load_item(g) for g in items), depth=2)
+                (lambda g=g: load_item(g) for g in items[skip:]), depth=2)
         else:
             loader = ThreadPrefetcher(
                 (lambda i=i: ("one", to_device_batch(train_ds[int(i)]))
-                 for i in order), depth=2)
+                 for i in order[skip:]), depth=2)
         for batch in loader:
-            key, sub = jax.random.split(key)
+            # stateless: the dispatch key is a pure function of the step
+            # counter, so resumed and uninterrupted runs see identical keys
+            sub = jax.random.fold_in(key, global_step)
             kind, payload = batch
             if scene_dp:
                 if kind == "scan":
@@ -333,8 +475,10 @@ def main(argv=None):
                 m = jax.tree.map(float, metrics)
                 writer.write(global_step,
                              {f"train/{k}": v for k, v in m.items()})
+                quality = (f"depth_abs {m['depth_abs']:.4f}"
+                           if "depth_abs" in m else f"psnr {m['psnr']:.2f}")
                 print(f"step {global_step} epoch {epoch} "
-                      f"loss {m['loss']:.4f} psnr {m['psnr']:.2f} "
+                      f"loss {m['loss']:.4f} {quality} "
                       f"rays/s {meter.rate:,.0f}")
             if global_step // 5000 != prev // 5000:
                 # async: orbax commits in the background while training
@@ -343,6 +487,15 @@ def main(argv=None):
                                               wait=False,
                                               keep=cfg.keep_ckpts)
                 last_saved = global_step
+            if cfg.stop_after_steps and global_step >= cfg.stop_after_steps:
+                break
+        if cfg.stop_after_steps and global_step >= cfg.stop_after_steps:
+            # simulated mid-run kill: checkpoint and exit (no final val)
+            print(f"stop_after_steps: halting at step {global_step}")
+            checkpoint_io.save_checkpoint(ckpt_dir, state, global_step,
+                                          keep=cfg.keep_ckpts)
+            writer.close()
+            return
         if (epoch + 1) % cfg.val_every_epochs == 0:
             validator(state.params, global_step)
 

@@ -93,11 +93,29 @@ class Config:
                                       # flat beyond (BASELINE.md round-3)
     finetune: Optional[str] = None    # scene name -> freeze MVS net
                                       # (reference network/models.py:249-250)
+    mvs_only: bool = False            # pretrain the Consistency Learner from
+                                      # scratch: optimize cas_mvsnet_loss
+                                      # alone (reference
+                                      # network/mvs_models.py:512-533), no
+                                      # rays/NeRF/render.  Replaces the
+                                      # reference's only unresolvable
+                                      # external dependency — its hardcoded
+                                      # casmvsnet.ckpt download
+                                      # (network/models.py:240-248) — with an
+                                      # in-tree bootstrap; resume the full
+                                      # objective from the resulting
+                                      # checkpoint via --ckpt.
     ckpt: Optional[str] = None
     keep_ckpts: int = 0               # prune to the newest N step_* dirs
                                       # (0 = keep all, like the reference's
                                       # 5000-step .tar dumps, train.py:404)
     eval: bool = False
+    stop_after_steps: int = 0         # halt cleanly once global_step reaches
+                                      # this (0 = never): saves a checkpoint
+                                      # and exits WITHOUT final validation —
+                                      # simulates a mid-run kill at a
+                                      # dispatch boundary (kill/resume
+                                      # testing; resume with --ckpt)
 
     # rendering (reference opt.py:34, 73-95)
     use_color_volume: bool = False    # reference --use_color_volume: project

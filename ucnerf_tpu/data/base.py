@@ -148,7 +148,9 @@ class SceneDataset:
         self.nviews = n_views
         self.img_wh = tuple(img_wh)
         self.n_depth_rays = n_depth_rays
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
+        self._epoch = 0                      # see set_epoch
         self.scans = self._discover_scans()
         if finetune_scan is not None:
             self.scans = [finetune_scan]
@@ -199,6 +201,17 @@ class SceneDataset:
     def __len__(self):
         return len(self.metas)
 
+    def set_epoch(self, epoch: int):
+        """Pin the per-sample randomness to (seed, epoch, idx).
+
+        ``__getitem__``'s sparse-ray subset draw is keyed statelessly so a
+        killed run resumed from a checkpoint sees EXACTLY the sample
+        stream an uninterrupted run would (train.py fast-positions the
+        epoch/dispatch and the dataset needs no replay).  Samples still
+        differ across epochs like the reference's fresh random draws
+        (``data/scared.py:502``)."""
+        self._epoch = int(epoch)
+
     # -------- sample assembly (reference data/scared.py:387-522)
     def __getitem__(self, idx):
         scan, ref, srcs = self.metas[idx]
@@ -225,7 +238,11 @@ class SceneDataset:
             weight_img = (weight_img - wmin) / (wmax - wmin)
 
         coords = dg["coords"]
-        perm = self.rng.permutation(len(coords))[:self.n_depth_rays]
+        # stateless draw (see set_epoch); construction-time randomness
+        # (meta building) stays on self.rng
+        item_rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, self._epoch, idx]))
+        perm = item_rng.permutation(len(coords))[:self.n_depth_rays]
         sel = coords[perm]
         n_valid = len(sel)
         pad_coords = np.zeros((self.n_depth_rays, 2), np.int32)

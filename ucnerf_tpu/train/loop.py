@@ -197,7 +197,7 @@ def make_train_step(cfg: Config, nerf, mvs, tx):
     return train_step
 
 
-def make_train_step_scan(cfg: Config, nerf, mvs, tx):
+def make_train_step_scan(cfg: Config, nerf, mvs, tx, donate: bool = False):
     """K training steps per dispatch via ``lax.scan``.
 
     The axon/TPU dispatch overhead is ~32 ms per synced host call
@@ -208,10 +208,16 @@ def make_train_step_scan(cfg: Config, nerf, mvs, tx):
     ``batches``: sample pytree stacked on a leading [K] axis;
     ``keys``: [K] PRNG keys.  Returns the final state and the LAST step's
     metrics (matching what a sequential loop would report).
+
+    ``donate``: donate the input TrainState's buffers to the output
+    (``jax.jit(donate_argnums=0)``) — XLA aliases params+opt_state in place,
+    saving one state copy per dispatch; the caller's input state is dead
+    after the call.  Measured on v5e (scripts/bench_donation.py): see
+    BASELINE.md for the adopt/close verdict.
     """
     loss_fn = _make_loss_fn(cfg, nerf, mvs)
 
-    @jax.jit
+    @lambda f: jax.jit(f, donate_argnums=(0,) if donate else ())
     def train_steps(state: TrainState, batches, keys):
         def one(st, bk):
             b, k = bk
@@ -250,8 +256,36 @@ def scene_loss_terms(cfg: Config, batch, rgb, depth, rays, mvs_out):
         n_rays_fixed=n_fixed)
 
 
+def mvs_only_scene_loss(cfg: Config, mvs, params, batch):
+    """``--mvs_only``: optimize ``cas_mvsnet_loss`` alone — no rays, no NeRF,
+    no render.  From-scratch pretraining of the Consistency Learner; the
+    reference instead hard-downloads ``casmvsnet.ckpt``
+    (``network/models.py:240-248``) and has no in-tree way to produce MVS
+    weights.  NeRF params receive zero gradients (unused by the loss), so
+    Adam leaves them untouched and the checkpoint seeds a full ``--ckpt``
+    resume."""
+    imgs_norm = batch["images"]
+    near, far = batch["near_fars"][0, 0], batch["near_fars"][0, 1]
+    mvs_out = mvs.apply({"params": params["mvs"]}, imgs_norm[1:],
+                        batch["affine_mat"], batch["affine_mat_inv"],
+                        near, far, pad=cfg.pad)
+    from ucnerf_tpu.train.losses import cas_mvsnet_loss
+    loss = cas_mvsnet_loss(mvs_out, batch["sparse_depth_ms"],
+                           batch["weight_ms"])
+    # diagnostic: mean |depth error| at the supervised (splatted) pixels
+    est = mvs_out["stage3"]["depth"]
+    gt = batch["sparse_depth_ms"]["stage3"]
+    mask = (gt > 0).astype(est.dtype)
+    abs_err = (jnp.sum(jnp.abs(est - gt) * mask)
+               / jnp.maximum(jnp.sum(mask), 1.0))
+    return loss, {"loss": loss, "mvs": loss, "depth_abs": abs_err}
+
+
 def scene_loss(cfg: Config, nerf, mvs, params, batch, key):
-    """Single-scene loss: forward + the 5-term objective."""
+    """Single-scene loss: forward + the 5-term objective (or the MVS-only
+    pretraining objective under ``--mvs_only``)."""
+    if cfg.mvs_only:
+        return mvs_only_scene_loss(cfg, mvs, params, batch)
     rgb, depth, rays, mvs_out = forward_scene(cfg, nerf, mvs, params,
                                               batch, key, train=True)
     return scene_loss_terms(cfg, batch, rgb, depth, rays, mvs_out)

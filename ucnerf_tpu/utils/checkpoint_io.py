@@ -197,15 +197,64 @@ def convert_casmvsnet_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
 
 
 def convert_reference_checkpoint(path: str):
-    """``ucnerf.tar`` -> {"nerf": ..., "mvs": ...} param trees."""
+    """Reference torch checkpoint -> param trees.
+
+    Handles BOTH reference formats (``network/models.py:240-266``):
+    - ``ucnerf.tar``: {network_fn_state_dict, network_mvs_state_dict}
+      -> {"nerf": ..., "mvs": ...}
+    - ``casmvsnet.ckpt`` (the published CasMVSNet weights the reference
+      hard-downloads; stored as {'model': state_dict}) -> {"mvs": ...}
+      only — the caller merges over freshly initialized NeRF params.
+    """
     import torch
     obj = torch.load(path, map_location="cpu", weights_only=False)
-    nerf_sd = {k: v.detach().cpu().numpy()
-               for k, v in obj["network_fn_state_dict"].items()}
-    mvs_sd = {k: v.detach().cpu().numpy()
-              for k, v in obj["network_mvs_state_dict"].items()}
-    return {"nerf": convert_nerf_state_dict(nerf_sd),
-            "mvs": convert_casmvsnet_state_dict(mvs_sd)}
+
+    def to_np(sd):
+        return {k: v.detach().cpu().numpy() for k, v in sd.items()}
+
+    if "network_fn_state_dict" in obj:
+        return {"nerf": convert_nerf_state_dict(
+                    to_np(obj["network_fn_state_dict"])),
+                "mvs": convert_casmvsnet_state_dict(
+                    to_np(obj["network_mvs_state_dict"]))}
+    if "model" in obj:
+        return {"mvs": convert_casmvsnet_state_dict(to_np(obj["model"]))}
+    raise ValueError(
+        f"{path}: unrecognized checkpoint format (expected ucnerf.tar "
+        "keys network_fn_state_dict/network_mvs_state_dict, or "
+        "casmvsnet.ckpt key 'model'); found " + ", ".join(sorted(obj)[:8]))
+
+
+# -------------------------------------------------------------- npz params
+def _flatten_tree(tree: Dict, prefix: str = "") -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in tree.items():
+        kk = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_flatten_tree(v, kk))
+        else:
+            out[kk] = np.asarray(v)
+    return out
+
+
+def save_params_npz(params: Dict, path: str) -> str:
+    """Nested param tree -> flat '/'-keyed .npz (the portable converted-
+    weights format written by ``convert_weights.py``)."""
+    np.savez(path, **_flatten_tree(params))
+    return path
+
+
+def load_params_npz(path: str) -> Dict:
+    """'/'-keyed .npz -> nested param tree (inverse of save_params_npz)."""
+    data = np.load(path)
+    tree: Dict = {}
+    for k in data.files:
+        parts = k.split("/")
+        d = tree
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = data[k]
+    return tree
 
 
 # ----------------------------------------------------- jax -> torch mapping
