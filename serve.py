@@ -110,11 +110,60 @@ def handle_render(renderer: ServingRenderer, req: dict) -> tuple:
     return encode_frame(rgb, depth, conf, fmt)
 
 
+_PROBE_HUNG = [False]   # a hung probe thread never comes back; fail fast
+
+
+def probe_backend(timeout_s: float = 10.0) -> dict:
+    """Round-trip a tiny value through the device on a worker thread.
+
+    The axon tunnel can wedge mid-session with device ops hanging forever
+    (CLAUDE.md gotcha #4) — ``join(timeout)`` turns that into an unhealthy
+    report instead of a hung /health.  A timed-out probe thread is left
+    behind (daemon, unjoinable by design) and later probes fail fast
+    instead of stacking more hung threads."""
+    if _PROBE_HUNG[0]:
+        return {"ok": False,
+                "error": "previous backend probe still hung; backend wedged"}
+    import threading
+    result = {}
+
+    def work():
+        try:
+            t0 = time.perf_counter()
+            # device_put + host fetch exercises the full transfer path
+            result["value"] = float(jax.device_put(np.float32(2.0)))
+            result["ms"] = (time.perf_counter() - t0) * 1e3
+        except Exception as e:        # surfaced as unhealthy, not a crash
+            result["error"] = f"{type(e).__name__}: {e}"
+
+    th = threading.Thread(target=work, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if th.is_alive():
+        _PROBE_HUNG[0] = True
+        return {"ok": False,
+                "error": f"backend probe timed out after {timeout_s}s"}
+    if "error" in result:
+        return {"ok": False, "error": result["error"]}
+    return {"ok": True, "probe_ms": round(result["ms"], 1)}
+
+
 def make_http_server(renderer, meta, host: str = "127.0.0.1",
-                     port: int = 8080):
+                     port: int = 8080, probe_timeout: float = 10.0):
     """A single-threaded stdlib HTTP server bound to (host, port); port 0
-    picks an ephemeral port (tests).  Caller runs .serve_forever()."""
+    picks an ephemeral port (tests).  Caller runs .serve_forever().
+
+    Requests are handled one at a time (single listener thread) AND the
+    render itself is behind a lock — concurrent clients serialize rather
+    than interleave device work (two in-flight renders on one chip corrupt
+    both measurements and fight for HBM; cf. the CLAUDE.md two-process
+    tunnel hazard).  GET /health actively probes the backend with a
+    timeout, so a wedged tunnel reports 503 instead of hanging the check.
+    """
+    import threading
     from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    render_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code, payload: bytes, ctype: str):
@@ -125,8 +174,10 @@ def make_http_server(renderer, meta, host: str = "127.0.0.1",
             self.wfile.write(payload)
 
         def do_GET(self):
-            if self.path == "/health":
-                self._send(200, json.dumps(meta).encode(),
+            if self.path.split("?")[0] == "/health":
+                probe = probe_backend(probe_timeout)
+                body = json.dumps({**meta, **probe}).encode()
+                self._send(200 if probe["ok"] else 503, body,
                            "application/json")
             else:
                 self._send(404, b'{"error": "use GET /health or POST '
@@ -141,11 +192,13 @@ def make_http_server(renderer, meta, host: str = "127.0.0.1",
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
                 t0 = time.perf_counter()
-                payload, ctype = handle_render(renderer, req)
+                with render_lock:
+                    payload, ctype = handle_render(renderer, req)
                 self.log_message("rendered in %.0f ms",
                                  (time.perf_counter() - t0) * 1e3)
                 self._send(200, payload, ctype)
-            except (ValueError, TypeError, json.JSONDecodeError) as e:
+            except (ValueError, TypeError, KeyError,
+                    json.JSONDecodeError) as e:
                 self._send(400, json.dumps({"error": str(e)}).encode(),
                            "application/json")
 
@@ -182,10 +235,18 @@ def run_batch(renderer, lines, pipeline: bool = True) -> int:
         line = line.strip()
         if not line:
             continue
-        req = json.loads(line)
-        out = req["out"]
-        fmt = req.get("format", "png" if out.endswith(".png") else "npz")
-        c2w, fmt = validate_request(dict(req, format=fmt))
+        try:
+            req = json.loads(line)
+            if "out" not in req:
+                raise ValueError("request missing 'out' path")
+            out = req["out"]
+            fmt = req.get("format",
+                          "png" if str(out).endswith(".png") else "npz")
+            c2w, fmt = validate_request(dict(req, format=fmt))
+        except (ValueError, TypeError, json.JSONDecodeError) as e:
+            # a malformed line must not kill the remaining batch
+            print(json.dumps({"error": str(e), "line": line[:200]}))
+            continue
         t0 = time.perf_counter()
         frame = renderer.render(c2w)  # async dispatch
         if pending is not None:
@@ -212,6 +273,9 @@ def main(argv=None):
     parser.add_argument("--requests", default=None,
                         help="batch mode: JSON-lines request file, '-'=stdin")
     parser.add_argument("--scene_idx", type=int, default=0)
+    parser.add_argument("--probe_timeout", type=float, default=10.0,
+                        help="GET /health backend-probe timeout (s); a "
+                        "wedged tunnel reports 503 instead of hanging")
     ns, rest = parser.parse_known_args(argv)
     if (ns.port is None) == (ns.requests is None):
         parser.error("exactly one of --port / --requests is required")
@@ -230,7 +294,8 @@ def main(argv=None):
         print(f"serve.py: rendered {n} request(s)")
         return
 
-    srv = make_http_server(renderer, meta, ns.host, ns.port)
+    srv = make_http_server(renderer, meta, ns.host, ns.port,
+                           probe_timeout=ns.probe_timeout)
     print(f"serve.py: listening on http://{srv.server_address[0]}:"
           f"{srv.server_address[1]} (GET /health, POST /render)")
     srv.serve_forever()
