@@ -48,11 +48,43 @@ def make_trajectory(name, c2ws, bounds, n_frames):
     raise ValueError(name)
 
 
+def write_video(path: str, frames_u8, fps: int = 10) -> bool:
+    """Encode [N, H, W, 3] uint8 frames to a video file.
+
+    Tries imageio's ffmpeg/pyav plugins first; falls back to OpenCV's
+    built-in FFMPEG VideoWriter (present in this environment even though
+    the imageio plugins are not).  Returns False only if no encoder
+    exists, letting the caller keep the frames as .npz.  Covers the
+    reference's latent video capability (``utils/common.py:511-618`` —
+    trajectory generation with no writer at all)."""
+    try:
+        import imageio
+        imageio.mimwrite(path, frames_u8, fps=fps)
+        return os.path.getsize(path) > 0
+    except Exception:
+        pass
+    try:
+        import cv2
+        n, h, w = frames_u8.shape[:3]
+        fourcc = cv2.VideoWriter_fourcc(
+            *("mp4v" if path.endswith((".mp4", ".m4v")) else "XVID"))
+        vw = cv2.VideoWriter(path, fourcc, float(fps), (w, h))
+        if not vw.isOpened():
+            return False
+        for f in frames_u8:
+            vw.write(f[..., ::-1])          # RGB -> BGR
+        vw.release()
+        return os.path.getsize(path) > 0
+    except Exception:
+        return False
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(add_help=False)
     parser.add_argument("--traj", default="interp",
                         choices=["spiral", "euler", "interp", "spheric"])
     parser.add_argument("--n_frames", type=int, default=30)
+    parser.add_argument("--fps", type=int, default=10)
     parser.add_argument("--out", default="render_path.mp4")
     ns, rest = parser.parse_known_args(argv)
     cfg = parse_config(rest)
@@ -107,19 +139,14 @@ def main(argv=None):
     frames = np.stack(frames)
     if ns.out.endswith(".npz"):
         np.savez(ns.out, rgb=frames, depth=np.stack(depths))
-    else:
-        import imageio
-        try:
-            imageio.mimwrite(ns.out, (frames * 255).astype(np.uint8),
-                             fps=10)
-        except (ValueError, ImportError) as e:
-            # no video backend (ffmpeg/pyav) in this environment — don't
-            # throw the rendered frames away
-            fallback = ns.out + ".npz"
-            np.savez(fallback, rgb=frames, depth=np.stack(depths))
-            print(f"render_path.py: no video writer for {ns.out!r} ({e}); "
-                  f"saved frames to {fallback} instead")
-            ns.out = fallback
+    elif not write_video(ns.out, (np.clip(frames, 0, 1)
+                                  * 255).astype(np.uint8), fps=ns.fps):
+        # no video backend at all — don't throw the rendered frames away
+        fallback = ns.out + ".npz"
+        np.savez(fallback, rgb=frames, depth=np.stack(depths))
+        print(f"render_path.py: no video writer for {ns.out!r}; "
+              f"saved frames to {fallback} instead")
+        ns.out = fallback
     print(f"wrote {ns.out} ({len(frames)} frames, {W}x{H})")
 
 

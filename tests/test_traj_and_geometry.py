@@ -1,5 +1,7 @@
 """Pose trajectories, SE(3) geometry, latent ray APIs."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -147,3 +149,51 @@ def test_render_path_cli_mesh_smoke(tmp_path):
     data = np.load(out)
     assert data["rgb"].shape == (2, 32, 64, 3)
     assert np.isfinite(data["rgb"]).all()
+
+
+def test_render_path_writes_encoded_video(tmp_path):
+    """render_path.py --out video.mp4 produces an actual ENCODED video
+    (via imageio or OpenCV's built-in FFMPEG writer) that decodes back to
+    the right frame count and size — the final artifact of the serving
+    trajectory loop (reference latent capability, utils/common.py:511-618)."""
+    import numpy as np
+    import render_path as rp
+
+    out = str(tmp_path / "video.mp4")
+    rp.main(["--traj", "interp", "--n_frames", "3", "--out", out,
+             "--dataset_name", "synthetic", "--view_num", "4",
+             "--N_samples", "9", "--batch_size", "80", "--patch_size", "4",
+             "--patch_num", "4", "--n_depth_rays", "32", "--chunk", "256"])
+    assert os.path.exists(out) and os.path.getsize(out) > 0
+    import cv2
+    cap = cv2.VideoCapture(out)
+    assert cap.isOpened()
+    n = 0
+    frames = []
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        frames.append(frame)
+        n += 1
+    cap.release()
+    assert n == 3
+    assert frames[0].shape == (32, 64, 3)
+    # frames round-trip recognizably (lossy codec): mean abs error small
+    data_mean = np.mean([f.mean() for f in frames])
+    assert 1 < data_mean < 250           # not all-black / all-white
+    # (an untrained NeRF renders dark — ~10/255 mean on this scene)
+
+
+def test_write_video_helper_fallback(tmp_path):
+    """write_video encodes via the cv2 fallback and returns False (no
+    crash) for an extension no backend can write."""
+    import numpy as np
+    import render_path as rp
+
+    frames = (np.random.RandomState(0).rand(4, 32, 64, 3)
+              * 255).astype(np.uint8)
+    out = str(tmp_path / "clip.mp4")
+    assert rp.write_video(out, frames, fps=5)
+    assert os.path.getsize(out) > 0
+    assert not rp.write_video(str(tmp_path / "clip.notavideo"), frames)
