@@ -160,6 +160,11 @@ def main():
                        "note": "round-1 first measurement (see BASELINE.md)"},
                       fh, indent=1)
 
+    # MFU + issue-floor accounting (analytic denominators; see
+    # ucnerf_tpu/utils/accounting.py and BASELINE.md round-4)
+    from ucnerf_tpu.utils.accounting import perf_accounting
+    acct = perf_accounting(cfg, H, W, dt, dt_render)
+
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",
         "value": round(value, 1),
@@ -172,6 +177,7 @@ def main():
             "render_rays_per_sec": round(render_rays_per_sec, 1),
             "render_frame_ms": round(dt_render * 1e3, 2),
             "device": str(jax.devices()[0]),
+            **acct,
         },
     }))
 
