@@ -1,0 +1,161 @@
+"""Device-resident scene store (data/device_store.py): index-only samples
+must be BIT-EXACT vs host loading, and the store-fed train step must match
+the host-fed one."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ucnerf_tpu.config import Config
+from ucnerf_tpu.data import build_dataset
+from ucnerf_tpu.data.device_store import (build_store, gather_batch,
+                                          sample_indices, store_nbytes)
+from ucnerf_tpu.models.factory import create_models, init_params
+from ucnerf_tpu.train.loop import (TrainState, make_optimizer,
+                                   make_train_step, make_train_step_store,
+                                   make_train_step_scan,
+                                   make_train_step_scan_store,
+                                   to_device_batch)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return Config(dataset_name="synthetic", view_num=4, N_samples=9,
+                  batch_size=80, patch_size=4, patch_num=4,
+                  n_depth_rays=32, chunk=256, num_epochs=4, lrate=5e-4)
+
+
+@pytest.fixture(scope="module")
+def dataset(cfg):
+    return build_dataset(cfg.replace(datadir=""), "train")
+
+
+@pytest.fixture(scope="module")
+def store(dataset):
+    s = build_store(dataset)
+    assert store_nbytes(s) > 0
+    return s
+
+
+def test_gathered_batch_bit_exact(cfg, dataset, store):
+    """gather_batch(store, sample_indices(i)) == dataset[i] bitwise for
+    every field the train step consumes, across epochs (the stateless
+    per-(epoch, idx) sparse draw must agree between the two paths)."""
+    gather = jax.jit(gather_batch)
+    for epoch in (0, 3):
+        dataset.set_epoch(epoch)
+        for idx in (0, 2):
+            host = dataset[idx]
+            dev = gather(store, to_device_batch(sample_indices(dataset,
+                                                               idx)))
+            for k in host:
+                if k == "depths_h":
+                    continue    # eval-only; the store serves zeros
+                h, d = host[k], dev[k]
+                if isinstance(h, dict):
+                    for kk in h:
+                        np.testing.assert_array_equal(
+                            np.asarray(h[kk]), np.asarray(d[kk]),
+                            err_msg=f"{k}/{kk}")
+                else:
+                    np.testing.assert_array_equal(np.asarray(h),
+                                                  np.asarray(d),
+                                                  err_msg=k)
+
+
+def test_store_step_matches_host_step(cfg, dataset, store):
+    """One optimizer step fed from the store == fed from the host batch."""
+    dataset.set_epoch(1)
+    nerf, mvs = create_models(cfg)
+    params = init_params(cfg, jax.random.PRNGKey(0), (32, 64))
+    tx = make_optimizer(cfg, steps_per_epoch=len(dataset))
+    key = jax.random.PRNGKey(5)
+
+    st_h = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step_h = make_train_step(cfg, nerf, mvs, tx)
+    st_h, m_h = step_h(st_h, to_device_batch(dataset[0]), key)
+
+    st_s = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step_s = make_train_step_store(cfg, nerf, mvs, tx)
+    st_s, m_s = step_s(st_s, store,
+                       to_device_batch(sample_indices(dataset, 0)), key)
+
+    # identical input VALUES; the gather prologue may perturb fusion, so
+    # allow float-noise drift (observed 0 on CPU; bounded like the
+    # scan==sequential test on any backend)
+    np.testing.assert_allclose(float(m_h["loss"]), float(m_s["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(st_h.params),
+                    jax.tree.leaves(st_s.params)):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() <= 3 * cfg.lrate
+
+
+def test_store_scan_matches_host_scan(cfg, dataset, store):
+    """K-step scan dispatch fed from the store == host-fed scan."""
+    dataset.set_epoch(2)
+    K = 2
+    nerf, mvs = create_models(cfg)
+    params = init_params(cfg, jax.random.PRNGKey(0), (32, 64))
+    tx = make_optimizer(cfg, steps_per_epoch=len(dataset))
+    keys = jax.random.split(jax.random.PRNGKey(7), K)
+
+    host = [dataset[i] for i in range(K)]
+    inds = [sample_indices(dataset, i) for i in range(K)]
+    stack = lambda xs: to_device_batch(
+        jax.tree.map(lambda *a: np.stack(a), *xs))
+
+    st_h = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    st_h, m_h = make_train_step_scan(cfg, nerf, mvs, tx)(
+        st_h, stack(host), keys)
+
+    st_s = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    st_s, m_s = make_train_step_scan_store(cfg, nerf, mvs, tx)(
+        st_s, store, stack(inds), keys)
+
+    assert int(st_s.step) == K
+    np.testing.assert_allclose(float(m_h["loss"]), float(m_s["loss"]),
+                               rtol=2e-2)
+    for a, b in zip(jax.tree.leaves(st_h.params),
+                    jax.tree.leaves(st_s.params)):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() <= 2 * K * cfg.lrate
+
+
+def test_train_cli_device_dataset_end_to_end(tmp_path):
+    """train.py with the store (default) runs end-to-end and matches a
+    --device_dataset-off run on final checkpointed params within the
+    float-noise bound."""
+    import train as train_cli
+    from ucnerf_tpu.utils import checkpoint_io
+
+    args = ["--dataset_name", "synthetic", "--view_num", "4",
+            "--N_samples", "9", "--batch_size", "80", "--patch_size", "4",
+            "--patch_num", "4", "--n_depth_rays", "32", "--chunk", "256",
+            "--samples_per_scene", "4", "--steps_per_dispatch", "2",
+            "--num_epochs", "1", "--lrate", "5e-4",
+            "--val_every_epochs", "9", "--seed", "3",
+            "--basedir", str(tmp_path)]
+    train_cli.main(args + ["--expname", "store"])
+
+    import json
+    cfg_off = str(tmp_path / "off.json")
+    with open(cfg_off, "w") as fh:
+        json.dump({"device_dataset": False}, fh)
+    train_cli.main(args + ["--expname", "host", "--config", cfg_off])
+
+    def load(expname):
+        ck = sorted((tmp_path / expname / "ckpts").iterdir())[-1]
+        cfg = Config(dataset_name="synthetic", view_num=4, N_samples=9,
+                     batch_size=80, patch_size=4, patch_num=4,
+                     n_depth_rays=32)
+        params = init_params(cfg, jax.random.PRNGKey(0), (32, 64))
+        tx = make_optimizer(cfg, steps_per_epoch=4)
+        return checkpoint_io.load_checkpoint(
+            str(ck), TrainState(params, tx.init(params),
+                                jnp.zeros((), jnp.int32)))
+
+    sA, sB = load("store"), load("host")
+    assert int(sA.step) == int(sB.step) == 4
+    for a, b in zip(jax.tree.leaves(sA.params), jax.tree.leaves(sB.params)):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() <= 2 * 4 * 5e-4

@@ -307,6 +307,21 @@ def main(argv=None):
         def step(state, batches_keys, _key):
             batch, keys = batches_keys
             return pstep(state, batch, keys)
+    elif cfg.device_dataset:
+        # single-device: scene arrays resident on device, index-only
+        # samples (data/device_store.py) — bit-exact vs host loading
+        from ucnerf_tpu.data.device_store import build_store, store_nbytes
+        from ucnerf_tpu.train.loop import (make_train_step_store,
+                                           make_train_step_scan_store)
+        store = build_store(train_ds)
+        print(f"device scene store: {store_nbytes(store) / 1e6:.0f} MB "
+              f"({len(train_ds.scans)} scan(s)) resident")
+        sstep = make_train_step_store(cfg, nerf, mvs, tx)
+        step = lambda state, inds, key: sstep(state, store, inds, key)
+        if cfg.steps_per_dispatch > 1:
+            sscan = make_train_step_scan_store(cfg, nerf, mvs, tx)
+            step_scan = lambda state, inds, keys: sscan(state, store, inds,
+                                                        keys)
     else:
         step = make_train_step(cfg, nerf, mvs, tx)
         if cfg.steps_per_dispatch > 1:
@@ -325,6 +340,11 @@ def main(argv=None):
     # scene-batched modes ("scenes": one scene per device; "grid": one
     # scene per scene-axis row, rays sharded along the ray axis)
     scene_dp = n_par > 1 and cfg.parallel_mode in ("scenes", "grid")
+    if n_par == 1 and cfg.device_dataset:
+        from ucnerf_tpu.data.device_store import sample_indices
+        fetch = lambda j: sample_indices(train_ds, j)
+    else:
+        fetch = lambda j: train_ds[j]
     n_scenes = ((cfg.mesh_shape[0] if cfg.parallel_mode == "grid" else n_par)
                 if scene_dp else 1)
     scenes_per_step = n_scenes
@@ -424,7 +444,7 @@ def main(argv=None):
             n_groups = len(order) // K
 
             def load_item(idxs):
-                samples = [train_ds[int(j)] for j in idxs]
+                samples = [fetch(int(j)) for j in idxs]
                 if len(samples) == 1:
                     return ("one", to_device_batch(samples[0]))
                 stacked = jax.tree.map(lambda *xs: np.stack(xs), *samples)
@@ -435,7 +455,7 @@ def main(argv=None):
                 (lambda g=g: load_item(g) for g in items[skip:]), depth=2)
         else:
             loader = ThreadPrefetcher(
-                (lambda i=i: ("one", to_device_batch(train_ds[int(i)]))
+                (lambda i=i: ("one", to_device_batch(fetch(int(i))))
                  for i in order[skip:]), depth=2)
         for batch in loader:
             # stateless: the dispatch key is a pure function of the step

@@ -201,6 +201,17 @@ class Config:
     # midpoint renders are reproducible); turn on for reference-parity runs.
     eval_jitter: bool = False
 
+    # Device-resident scene store for single-device training
+    # (data/device_store.py): each scan's arrays upload ONCE and the
+    # jitted step gathers samples by index — per step the host ships
+    # ~10 KB instead of ~35 MB.  Bit-exact vs host loading (tested).
+    # Measured end-to-end (round-4 soak): host loading sustains only
+    # ~380 ms/step against the 193 ms synced step; the store closes that
+    # gap.  Costs HBM (full SCARED scene set: a few hundred MB; the
+    # store prints its size at startup) — turn off if the scene set
+    # outgrows the chip.  Multi-chip modes keep the host loader.
+    device_dataset: bool = True
+
     # featurization path: True = per-ray column-gather fast path
     # (render/fast_feats.py, fp-equal to the literal formulation, tested);
     # False = the literal reference formulation (render/renderer.py).

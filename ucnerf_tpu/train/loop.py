@@ -232,6 +232,52 @@ def make_train_step_scan(cfg: Config, nerf, mvs, tx, donate: bool = False):
     return train_steps
 
 
+def make_train_step_store(cfg: Config, nerf, mvs, tx):
+    """Single train step fed from a device-resident scene store
+    (``data/device_store.py``): the batch is gathered from ``store`` by
+    the ~10 KB index payload inside the jit, eliminating the per-step
+    host assembly + upload of the full sample (measured 193 ms synced
+    step vs ~380 ms end-to-end with host loading — BASELINE.md round-4).
+    ``store`` is a jit ARGUMENT, never a closure: closed-over arrays
+    embed as HLO constants (the DPT HTTP-413 lesson, models/dpt.py)."""
+    from ucnerf_tpu.data.device_store import gather_batch
+    loss_fn = _make_loss_fn(cfg, nerf, mvs)
+
+    @jax.jit
+    def train_step(state: TrainState, store, inds, key):
+        batch = gather_batch(store, inds)
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, key)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
+def make_train_step_scan_store(cfg: Config, nerf, mvs, tx,
+                               donate: bool = False):
+    """K store-fed steps per dispatch (see ``make_train_step_scan``);
+    ``ind_batches`` is the index payload stacked on a leading [K] axis."""
+    from ucnerf_tpu.data.device_store import gather_batch
+    loss_fn = _make_loss_fn(cfg, nerf, mvs)
+
+    @lambda f: jax.jit(f, donate_argnums=(0,) if donate else ())
+    def train_steps(state: TrainState, store, ind_batches, keys):
+        def one(st, bk):
+            inds, k = bk
+            b = gather_batch(store, inds)
+            (_, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(st.params, b, k)
+            updates, opt_state = tx.update(grads, st.opt_state, st.params)
+            params = optax.apply_updates(st.params, updates)
+            return TrainState(params, opt_state, st.step + 1), metrics
+        state, ms = jax.lax.scan(one, state, (ind_batches, keys))
+        return state, jax.tree.map(lambda x: x[-1], ms)
+
+    return train_steps
+
+
 def scene_loss_terms(cfg: Config, batch, rgb, depth, rays, mvs_out):
     """Assemble the 5-term objective from render outputs.  The ONE place the
     objective is assembled — the serial step, the scene-DP step, and the
