@@ -159,3 +159,49 @@ def test_train_cli_device_dataset_end_to_end(tmp_path):
     assert int(sA.step) == int(sB.step) == 4
     for a, b in zip(jax.tree.leaves(sA.params), jax.tree.leaves(sB.params)):
         assert np.abs(np.asarray(a) - np.asarray(b)).max() <= 2 * 4 * 5e-4
+
+
+def test_ray_dp_store_matches_host(cfg, dataset, store):
+    """Store-fed ray-DP step == host-fed ray-DP step on the 8-device
+    virtual mesh (the multi-chip production path composes with the
+    store: replicated scene arrays, sharded rays, psum'd grads)."""
+    from ucnerf_tpu.parallel.mesh import make_mesh
+    from ucnerf_tpu.parallel.sharding import (
+        make_parallel_train_step_rays, make_parallel_train_step_rays_store,
+        make_parallel_train_step_rays_scan_store, replicate_state)
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh((8,), ("data",))
+    dataset.set_epoch(1)
+    nerf, mvs = create_models(cfg)
+    params = init_params(cfg, jax.random.PRNGKey(0), (32, 64))
+    tx = make_optimizer(cfg, steps_per_epoch=len(dataset))
+    key = jax.random.PRNGKey(5)
+
+    st0 = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    st_h = replicate_state(st0, mesh)
+    step_h = make_parallel_train_step_rays(cfg, nerf, mvs, tx, mesh)
+    st_h, m_h = step_h(st_h, to_device_batch(dataset[0]), key)
+
+    st_s = replicate_state(st0, mesh)
+    step_s = make_parallel_train_step_rays_store(cfg, nerf, mvs, tx, mesh)
+    st_s, m_s = step_s(st_s, store,
+                       to_device_batch(sample_indices(dataset, 0)), key)
+
+    np.testing.assert_allclose(float(m_h["loss"]), float(m_s["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(st_h.params),
+                    jax.tree.leaves(st_s.params)):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() <= 3 * cfg.lrate
+
+    # the K-scan variant runs and advances the step counter
+    K = 2
+    inds = [sample_indices(dataset, i) for i in range(K)]
+    stacked = to_device_batch(jax.tree.map(lambda *a: np.stack(a), *inds))
+    keys = jax.random.split(key, K)
+    scan_s = make_parallel_train_step_rays_scan_store(cfg, nerf, mvs, tx,
+                                                      mesh)
+    st2, m2 = scan_s(replicate_state(st0, mesh), store, stacked, keys)
+    assert int(st2.step) == K
+    assert np.isfinite(float(m2["loss"]))

@@ -262,15 +262,32 @@ def main(argv=None):
     if n_par > 1 and cfg.parallel_mode == "rays":
         # ray-data-parallel: one scene/step (the reference's regime), its
         # ray batch sharded over the mesh (SURVEY §2.4(a)).  Same loader
-        # shapes as the serial path, so it reuses that branch below.
+        # shapes as the serial path, so it reuses that branch below —
+        # including the device scene store (replicated over the mesh).
         from ucnerf_tpu.parallel.sharding import (
             make_parallel_train_step_rays, make_parallel_train_step_rays_scan,
-            replicate_state)
+            make_parallel_train_step_rays_store,
+            make_parallel_train_step_rays_scan_store, replicate_state)
         state = replicate_state(state, mesh)
-        step = make_parallel_train_step_rays(cfg, nerf, mvs, tx, mesh)
-        if cfg.steps_per_dispatch > 1:
-            step_scan = make_parallel_train_step_rays_scan(cfg, nerf, mvs,
-                                                           tx, mesh)
+        if cfg.device_dataset:
+            from ucnerf_tpu.data.device_store import (build_store,
+                                                      store_nbytes)
+            store = build_store(train_ds)
+            print(f"device scene store: {store_nbytes(store) / 1e6:.0f} MB "
+                  "replicated over the mesh")
+            pstep = make_parallel_train_step_rays_store(cfg, nerf, mvs, tx,
+                                                        mesh)
+            step = lambda state, inds, key: pstep(state, store, inds, key)
+            if cfg.steps_per_dispatch > 1:
+                pscan = make_parallel_train_step_rays_scan_store(
+                    cfg, nerf, mvs, tx, mesh)
+                step_scan = lambda state, inds, keys: pscan(state, store,
+                                                            inds, keys)
+        else:
+            step = make_parallel_train_step_rays(cfg, nerf, mvs, tx, mesh)
+            if cfg.steps_per_dispatch > 1:
+                step_scan = make_parallel_train_step_rays_scan(
+                    cfg, nerf, mvs, tx, mesh)
     elif n_par > 1:
         # scene-batched modes, mean-reduced gradients — an n_scenes-fold
         # effective batch vs the reference (SURVEY §2.4(b); see the
@@ -340,7 +357,9 @@ def main(argv=None):
     # scene-batched modes ("scenes": one scene per device; "grid": one
     # scene per scene-axis row, rays sharded along the ray axis)
     scene_dp = n_par > 1 and cfg.parallel_mode in ("scenes", "grid")
-    if n_par == 1 and cfg.device_dataset:
+    if cfg.device_dataset and not scene_dp:
+        # serial AND ray-DP paths run store-fed (scene-DP keeps the host
+        # loader: its batches span multiple scenes per dispatch)
         from ucnerf_tpu.data.device_store import sample_indices
         fetch = lambda j: sample_indices(train_ds, j)
     else:

@@ -188,6 +188,59 @@ def make_parallel_train_step_rays_scan(cfg: Config, nerf, mvs, tx,
     return train_steps
 
 
+def make_parallel_train_step_rays_store(cfg: Config, nerf, mvs, tx,
+                                        mesh: Mesh, axis: str = "data"):
+    """Ray-DP step fed from the device-resident scene store
+    (``data/device_store.py``): the ~10 KB index payload replaces the
+    ~35 MB host-assembled sample; the store lives replicated across the
+    mesh and the batch gather runs inside the jit.  Same semantics as
+    ``make_parallel_train_step_rays`` (bit-exact batch, tested)."""
+    from ucnerf_tpu.data.device_store import gather_batch
+    repl = NamedSharding(mesh, P())
+    loss_fn = _ray_dp_loss_fn(cfg, nerf, mvs, mesh, axis)
+
+    @jax.jit
+    def train_step(state: TrainState, store, inds, key):
+        store = jax.lax.with_sharding_constraint(
+            store, jax.tree.map(lambda _: repl, store))
+        batch = gather_batch(store, inds)
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, key)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
+def make_parallel_train_step_rays_scan_store(cfg: Config, nerf, mvs, tx,
+                                             mesh: Mesh, axis: str = "data"):
+    """K store-fed ray-DP steps per dispatch (``lax.scan``); ``ind_batches``
+    is the index payload stacked on a leading [K] axis."""
+    from ucnerf_tpu.data.device_store import gather_batch
+    repl = NamedSharding(mesh, P())
+    loss_fn = _ray_dp_loss_fn(cfg, nerf, mvs, mesh, axis)
+
+    @jax.jit
+    def train_steps(state: TrainState, store, ind_batches, keys):
+        store = jax.lax.with_sharding_constraint(
+            store, jax.tree.map(lambda _: repl, store))
+
+        def one(st, bk):
+            inds, k = bk
+            b = gather_batch(store, inds)
+            (_, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(st.params, b, k)
+            updates, opt_state = tx.update(grads, st.opt_state, st.params)
+            params = optax.apply_updates(st.params, updates)
+            return TrainState(params, opt_state, st.step + 1), metrics
+
+        state, ms = jax.lax.scan(one, state, (ind_batches, keys))
+        return state, jax.tree.map(lambda x: x[-1], ms)
+
+    return train_steps
+
+
 def make_parallel_train_step_scan(cfg: Config, nerf, mvs, tx, mesh: Mesh,
                                   axis: str = "data"):
     """K scene-DP steps per dispatch: ``lax.scan`` over K mesh-sharded scene

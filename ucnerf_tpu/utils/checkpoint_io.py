@@ -342,7 +342,10 @@ def load_eval_params(cfg, params):
     if not cfg.ckpt:
         return params
     if cfg.ckpt.endswith((".tar", ".ckpt", ".pth")):
-        return convert_reference_checkpoint(cfg.ckpt)
+        # merge over init: a bare casmvsnet.ckpt seeds only the MVS tree
+        return {**params, **convert_reference_checkpoint(cfg.ckpt)}
+    if cfg.ckpt.endswith(".npz"):
+        return {**params, **load_params_npz(cfg.ckpt)}
     import jax.numpy as jnp
     from ucnerf_tpu.train.loop import TrainState, make_optimizer
     tx = make_optimizer(cfg, steps_per_epoch=1)
