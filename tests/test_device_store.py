@@ -205,3 +205,45 @@ def test_ray_dp_store_matches_host(cfg, dataset, store):
     st2, m2 = scan_s(replicate_state(st0, mesh), store, stacked, keys)
     assert int(st2.step) == K
     assert np.isfinite(float(m2["loss"]))
+
+
+def test_store_multi_scan_padding(cfg):
+    """Scans with UNEQUAL view counts: the store pads the view axis to the
+    widest scan and gathers must stay bit-exact for every scan (the
+    SCARED multi-scene layout; the CLI tests cover it end-to-end, this
+    pins the padding arithmetic directly)."""
+    from ucnerf_tpu.data.synthetic import SyntheticDataset
+
+    class TwoScan(SyntheticDataset):
+        def _discover_scans(self):
+            return ["small", "big"]
+
+        def _load_scene(self, scan):
+            # different image counts per scan -> padded store rows
+            self._n_images = 8 if scan == "small" else 12
+            sc = super()._load_scene(scan)
+            if scan == "big":    # decorrelate the two scenes
+                sc["images"] = sc["images"][::-1].copy()
+            return sc
+
+    ds = TwoScan("", split="train", n_views=4, img_wh=(64, 32),
+                 n_depth_rays=32, max_train_samples=6)
+    assert {m[0] for m in ds.metas} == {"small", "big"}
+    store = build_store(ds)
+    assert store["images"].shape[:2] == (2, 12)   # padded to the widest
+    gather = jax.jit(gather_batch)
+    ds.set_epoch(2)
+    hit = set()
+    for idx in range(len(ds)):
+        host = ds[idx]
+        dev = gather(store, to_device_batch(sample_indices(ds, idx)))
+        hit.add(ds.metas[idx][0])
+        for k in ("images", "sparse_depths", "sparse_weights", "dpt",
+                  "affine_mat", "c2ws", "near_fars", "intrinsics"):
+            np.testing.assert_array_equal(np.asarray(host[k]),
+                                          np.asarray(dev[k]), err_msg=k)
+        for k in ("stage1", "stage2", "stage3"):
+            np.testing.assert_array_equal(
+                np.asarray(host["sparse_depth_ms"][k]),
+                np.asarray(dev["sparse_depth_ms"][k]), err_msg=k)
+    assert hit == {"small", "big"}
