@@ -70,21 +70,45 @@ def blend_segmentation(img01, labels, alpha: float = 0.5):
 
 
 def save_val_panel(path, gt_rgb, pred_rgb, gt_depth, pred_depth):
-    """2x2 GT/pred panel (reference ``train.py:294-316``)."""
-    import matplotlib
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
+    """2x2 GT/pred panel (reference ``train.py:294-316``).
+
+    Direct pixel compositing (cv2) instead of a matplotlib figure: the
+    figure path cost hundreds of ms per panel on the 1-core host — most
+    of the validator's non-render wall time (BASELINE.md round-4,
+    850-1250 ms/view of which the render is ~320 ms).  Same content:
+    full-resolution tiles with title strips.
+    """
+    import cv2
 
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    fig, axs = plt.subplots(2, 2)
-    for ax, img, title in (
-            (axs[0, 0], np.clip(gt_rgb, 0, 1), "Ground Truth RGB"),
-            (axs[0, 1], np.clip(pred_rgb, 0, 1), "Rendered RGB"),
-            (axs[1, 0], visualize_depth(gt_depth), "Ground Truth Depth"),
-            (axs[1, 1], visualize_depth(pred_depth), "Rendered Depth")):
-        ax.imshow(img)
-        ax.set_title(title)
-        ax.axis("off")
-    plt.tight_layout()
-    plt.savefig(path)
-    plt.close(fig)
+
+    def to_u8(img):
+        a = np.asarray(img)
+        if a.dtype != np.uint8:
+            a = (np.clip(a, 0, 1) * 255).astype(np.uint8)
+        if a.ndim == 2:
+            a = np.repeat(a[..., None], 3, axis=-1)
+        return a
+
+    tiles = [(to_u8(gt_rgb), "Ground Truth RGB"),
+             (to_u8(pred_rgb), "Rendered RGB"),
+             (visualize_depth(gt_depth), "Ground Truth Depth"),
+             (visualize_depth(pred_depth), "Rendered Depth")]
+    H, W = tiles[0][0].shape[:2]
+    strip, pad = 22, 4
+
+    def tile(img, title):
+        canvas = np.full((H + strip, W, 3), 255, np.uint8)
+        canvas[strip:] = img
+        cv2.putText(canvas, title, (4, strip - 7),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.45, (0, 0, 0), 1,
+                    cv2.LINE_AA)
+        return canvas
+
+    vpad = np.full((H + strip, pad, 3), 255, np.uint8)
+    rows = [np.concatenate([tile(*tiles[2 * r]), vpad,
+                            tile(*tiles[2 * r + 1])], axis=1)
+            for r in range(2)]
+    hpad = np.full((pad, rows[0].shape[1], 3), 255, np.uint8)
+    panel = np.concatenate([rows[0], hpad, rows[1]], axis=0)
+    cv2.imwrite(path, panel[..., ::-1])          # RGB -> BGR
