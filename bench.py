@@ -131,6 +131,39 @@ def main():
     dt = float(np.median(times)) / K
     train_rays_per_sec = cfg.n_train_rays / dt
 
+    # The PRODUCTION path (VERDICT r4 item 9): store-fed amortized loop —
+    # ThreadPrefetcher(depth=2) feeding K-step store dispatches with one
+    # value-fetch at the window end, exactly like train.py runs.  This is
+    # the end-to-end number (includes host index staging + pipelining),
+    # tracked round-over-round next to the synced step above.
+    from ucnerf_tpu.data.device_store import build_store, sample_indices
+    from ucnerf_tpu.train.loop import make_train_step_scan_store
+    from ucnerf_tpu.utils.prefetch import ThreadPrefetcher
+    store = build_store(ds)
+    sstore = make_train_step_scan_store(cfg, nerf, mvs, tx)
+
+    def index_loader(n):
+        def load(i):
+            inds = [sample_indices(ds, (i * K + j) % len(ds))
+                    for j in range(K)]
+            return to_device_batch(
+                jax.tree.map(lambda *xs: np.stack(xs), *inds))
+        return ThreadPrefetcher((lambda i=i: load(i) for i in range(n)),
+                                depth=2)
+
+    def run_e2e(n_dispatches):
+        nonlocal state, key
+        for payload in index_loader(n_dispatches):
+            key, sub = jax.random.split(key)
+            state, m = sstore(state, store, payload,
+                              jax.random.split(sub, K))
+        float(m["loss"])
+    run_e2e(3)                               # warm: compile + settling
+    t0 = time.perf_counter()
+    E2E_DISPATCHES = 10
+    run_e2e(E2E_DISPATCHES)
+    dt_e2e = (time.perf_counter() - t0) / (E2E_DISPATCHES * K)
+
     # eval render path — same median methodology as the train step.
     render_view = make_eval_render(cfg, nerf, mvs, (H, W))
     for _ in range(2):
@@ -144,6 +177,115 @@ def main():
         rtimes.append(time.perf_counter() - t0)
     dt_render = float(np.median(rtimes))
     render_rays_per_sec = H * W / dt_render
+
+    # --- achieved-ns/row probes (VERDICT r4 item 1): isolate the two
+    # floor-priced gather families and measure their ACHIEVED per-row cost
+    # against the 2.9/8.7 ns floors, so the bench JSON states how close
+    # each is to the hardware's issue rate rather than only the analytic
+    # lower bound.  Each probe scans KP iterations inside one jit (the
+    # profile_phases methodology) and subtracts the empty-dispatch cost.
+    KP = 8
+    pkeys = jax.random.split(jax.random.PRNGKey(11), KP)
+
+    def timed_scan(body, n=5):
+        @jax.jit
+        def run(ks):
+            def one(acc, k):
+                return acc + body(k), None
+            acc, _ = jax.lax.scan(one, jnp.zeros(()), ks)
+            return acc
+        float(run(pkeys))
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            float(run(pkeys))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    dt_empty = timed_scan(lambda k: jnp.sum(k.astype(jnp.float32)) * 0.0)
+
+    # warp+variance fwd+bwd over all 3 cascade stages (realistic
+    # homographies, production pack factors — models/mvs.py)
+    from ucnerf_tpu.models.mvs import _variance_cost_volume
+    V1 = cfg.view_num - 1
+    stage_ins = []
+    rng = np.random.default_rng(0)
+    for si, (D, hs, ws, C) in zip(
+            (1, 2, 3), [(48, H // 4, W // 4, 32), (32, H // 2, W // 2, 16),
+                        (8, H, W, 8)]):
+        feats = jnp.asarray(rng.normal(size=(V1, hs, ws, C)), jnp.float32)
+        projs = []
+        for v in range(V1):
+            ang = 0.02 * (v + 1)
+            Rm = np.array([[np.cos(ang), -np.sin(ang), 0.002 * v],
+                           [np.sin(ang), np.cos(ang), -0.003 * v],
+                           [0.0, 0.0, 1.0]], np.float32)
+            T = np.array([5.0 * v - 10.0, 3.0 * v - 8.0, 1.0], np.float32)
+            projs.append(np.concatenate([Rm, T[:, None]], 1))
+        depth = jnp.broadcast_to(jnp.linspace(2.0, 8.0, D)[:, None, None],
+                                 (D, hs, ws))
+        stage_ins.append((feats, jnp.asarray(np.stack(projs)), depth))
+
+    def warp_loss(all_feats, k):
+        tot = 0.0
+        for (feats, projs, depth) in zip(all_feats,
+                                         [s[1] for s in stage_ins],
+                                         [s[2] for s in stage_ins]):
+            var = _variance_cost_volume(
+                feats + 1e-12 * k[0].astype(jnp.float32), projs, depth,
+                pad=0)
+            tot = tot + jnp.sum(var)
+        return tot
+
+    feats_all = [s[0] for s in stage_ins]
+
+    def warp_fwd_bwd(k):
+        g = jax.grad(warp_loss)(feats_all, k)
+        return sum(jnp.sum(jnp.abs(l)) for l in g) * 1e-12
+
+    dt_warp = (timed_scan(warp_fwd_bwd) - dt_empty) / KP
+
+    # featurization gathers for one full frame (build rays + fast-path
+    # featurization per 1024-ray tile, no MLP/composite)
+    from ucnerf_tpu.render.fast_feats import gen_pts_feats_fast
+    from ucnerf_tpu.render.renderer import make_feat_ctx
+    from ucnerf_tpu.train.loop import prepare_view_ctx, view_chunk_fns
+    ctx = jax.jit(lambda p, b: prepare_view_ctx(cfg, nerf, mvs, p, b))(
+        state.params, batch)
+    build_chunk, _ = view_chunk_fns(cfg, nerf, H, W, ctx)
+    n_tiles = (H * W + cfg.chunk - 1) // cfg.chunk
+    tiles = jnp.arange(n_tiles * cfg.chunk) % (H * W)
+    tiles = tiles.reshape(n_tiles, cfg.chunk)
+
+    def feat_frame(k):
+        def body(acc, pix):
+            rays = build_chunk(pix)
+            feats = gen_pts_feats_fast(
+                rays, ctx["feat_ctx"]["stage_volumes"],
+                ctx["feat_ctx"]["confidence"], ctx["feat_ctx"]["quad_views"],
+                ctx["feat_ctx"]["src_w2cs"], ctx["feat_ctx"]["src_intrinsics"],
+                ctx["feat_ctx"]["img_hw"])
+            return acc + jnp.sum(feats.astype(jnp.float32)) * 1e-12, None
+        acc, _ = jax.lax.scan(body, jnp.zeros(()) + 0.0 * k[0], tiles,
+                              unroll=cfg.eval_unroll)
+        return acc
+
+    KP_F = 2
+    fkeys = jax.random.split(jax.random.PRNGKey(12), KP_F)
+
+    @jax.jit
+    def feat_run(ks):
+        def one(acc, k):
+            return acc + feat_frame(k), None
+        acc, _ = jax.lax.scan(one, jnp.zeros(()), ks)
+        return acc
+    float(feat_run(fkeys))
+    fts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(feat_run(fkeys))
+        fts.append(time.perf_counter() - t0)
+    dt_feat = (float(np.median(fts)) - dt_empty) / KP_F
 
     value = train_rays_per_sec
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -160,10 +302,12 @@ def main():
                        "note": "round-1 first measurement (see BASELINE.md)"},
                       fh, indent=1)
 
-    # MFU + issue-floor accounting (analytic denominators; see
-    # ucnerf_tpu/utils/accounting.py and BASELINE.md round-4)
+    # MFU + issue-floor + bandwidth accounting (analytic denominators +
+    # the measured probes above; see ucnerf_tpu/utils/accounting.py and
+    # BASELINE.md round-5)
     from ucnerf_tpu.utils.accounting import perf_accounting
-    acct = perf_accounting(cfg, H, W, dt, dt_render)
+    acct = perf_accounting(cfg, H, W, dt, dt_render,
+                           warp_fwd_bwd_s=dt_warp, feat_fwd_s=dt_feat)
 
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",
@@ -173,9 +317,13 @@ def main():
         "extra": {
             "train_step_ms": round(dt * 1e3, 2),
             "train_step_ms_single_dispatch": round(dt_single * 1e3, 2),
+            "train_step_ms_e2e": round(dt_e2e * 1e3, 2),
+            "train_rays_per_sec_e2e": round(cfg.n_train_rays / dt_e2e, 1),
             "steps_per_dispatch": cfg.steps_per_dispatch,
             "render_rays_per_sec": round(render_rays_per_sec, 1),
             "render_frame_ms": round(dt_render * 1e3, 2),
+            "warp_fwd_bwd_ms": round(dt_warp * 1e3, 2),
+            "featurization_frame_ms": round(dt_feat * 1e3, 2),
             "device": str(jax.devices()[0]),
             **acct,
         },

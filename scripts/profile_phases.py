@@ -127,6 +127,48 @@ def main():
 
     report("featnet_grad", timed(scan_phase(featnet_grad, keys)), dt0)
 
+    # --- plane-sweep warp+variance alone (the floor-priced family) ---
+    # realistic per-stage inputs at the production shapes/pack factors;
+    # fwd = gathers, grad = gathers + cotangent scatter-adds.  Lets the
+    # cascade decompose as warpvar + costreg + featnet + range machinery.
+    from ucnerf_tpu.models.mvs import _variance_cost_volume
+    V1 = cfg.view_num - 1
+    rng = np.random.default_rng(0)
+    stage_ins = []
+    for (D, hs, ws, C) in ((48, H // 4, W // 4, 32),
+                           (32, H // 2, W // 2, 16), (8, H, W, 8)):
+        feats = jnp.asarray(rng.normal(size=(V1, hs, ws, C)), jnp.float32)
+        projs = []
+        for v in range(V1):
+            ang = 0.02 * (v + 1)
+            Rm = np.array([[np.cos(ang), -np.sin(ang), 0.002 * v],
+                           [np.sin(ang), np.cos(ang), -0.003 * v],
+                           [0, 0, 1]], np.float32)
+            T = np.array([5.0 * v - 10.0, 3.0 * v - 8.0, 1.0], np.float32)
+            projs.append(np.concatenate([Rm, T[:, None]], 1))
+        depth = jnp.broadcast_to(jnp.linspace(2.0, 8.0, D)[:, None, None],
+                                 (D, hs, ws))
+        stage_ins.append((feats, jnp.asarray(np.stack(projs)), depth))
+    feats_all = [s[0] for s in stage_ins]
+
+    def warpvar_sum(fs, key):
+        tot = 0.0
+        for f, (_, projs, depth) in zip(fs, stage_ins):
+            var = _variance_cost_volume(
+                f + 1e-12 * key[0].astype(jnp.float32), projs, depth, pad=0)
+            tot = tot + jnp.sum(var)
+        return tot
+
+    report("warpvar_fwd",
+           timed(scan_phase(lambda k: warpvar_sum(feats_all, k) * 1e-12,
+                            keys)), dt0)
+
+    def warpvar_grad(key):
+        g = jax.grad(warpvar_sum)(feats_all, key)
+        return sum(jnp.sum(jnp.abs(l)) for l in g) * 1e-12
+
+    report("warpvar_grad", timed(scan_phase(warpvar_grad, keys)), dt0)
+
     # --- full cascade ---
     def cascade_fwd(key):
         x = imgs_norm[1:] + 1e-8 * key[0].astype(jnp.float32)

@@ -110,7 +110,7 @@ def handle_render(renderer: ServingRenderer, req: dict) -> tuple:
     return encode_frame(rgb, depth, conf, fmt)
 
 
-_PROBE_HUNG = [False]   # a hung probe thread never comes back; fail fast
+_PROBE_HUNG = [None]    # the last timed-out probe Thread (None = healthy)
 
 
 def probe_backend(timeout_s: float = 10.0) -> dict:
@@ -118,12 +118,17 @@ def probe_backend(timeout_s: float = 10.0) -> dict:
 
     The axon tunnel can wedge mid-session with device ops hanging forever
     (CLAUDE.md gotcha #4) — ``join(timeout)`` turns that into an unhealthy
-    report instead of a hung /health.  A timed-out probe thread is left
-    behind (daemon, unjoinable by design) and later probes fail fast
-    instead of stacking more hung threads."""
-    if _PROBE_HUNG[0]:
-        return {"ok": False,
-                "error": "previous backend probe still hung; backend wedged"}
+    report instead of a hung /health.  While a timed-out probe thread is
+    still alive (daemon, unjoinable by design), later probes fail fast
+    instead of stacking more hung threads; once it eventually finishes
+    (a transiently slow round-trip, not a wedge) the backend reports
+    healthy again rather than latching 503 forever."""
+    hung = _PROBE_HUNG[0]
+    if hung is not None:
+        if hung.is_alive():
+            return {"ok": False, "error":
+                    "previous backend probe still hung; backend wedged"}
+        _PROBE_HUNG[0] = None      # the stuck probe completed -> recovered
     import threading
     result = {}
 
@@ -140,7 +145,7 @@ def probe_backend(timeout_s: float = 10.0) -> dict:
     th.start()
     th.join(timeout_s)
     if th.is_alive():
-        _PROBE_HUNG[0] = True
+        _PROBE_HUNG[0] = th
         return {"ok": False,
                 "error": f"backend probe timed out after {timeout_s}s"}
     if "error" in result:

@@ -59,7 +59,10 @@ def test_perf_accounting_fields():
     for k in ("train_mfu", "render_mfu", "train_floor_bound_frac",
               "render_floor_bound_frac", "train_tflops_per_step",
               "render_tflops_per_frame", "train_achieved_tflops",
-              "render_achieved_tflops", "peak_tflops"):
+              "render_achieved_tflops", "peak_tflops", "train_bw_ms",
+              "render_bw_ms", "train_bw_bound_frac", "render_bw_bound_frac",
+              "train_matmul_ms", "render_matmul_ms", "train_residual_ms",
+              "render_residual_ms", "peak_hbm_gbps"):
         assert k in out and np.isfinite(out[k]), k
     assert 0 < out["train_mfu"] < 1
     assert 0 < out["render_mfu"] < 1
@@ -70,3 +73,39 @@ def test_perf_accounting_fields():
     assert 0.2 < out["render_floor_bound_frac"] < 1.0, out
     # eval floor: 44M quad rows at 2.9 ns ~ 130 ms of the 317 ms frame
     assert 100 < out["render_floor_ms"] < 180, out
+    # the three denominators explain MOST of the wall time: the residual
+    # must be a small fraction (positive or negative — families overlap)
+    assert abs(out["train_residual_ms"]) < 0.5 * 193.5, out
+    assert abs(out["render_residual_ms"]) < 0.5 * 317.5, out
+    # bandwidth term: nonzero but not claiming the whole step
+    assert 0 < out["train_bw_bound_frac"] < 0.8, out
+
+
+def test_bytes_model_scales():
+    """HBM-byte counts scale linearly in resolution and views."""
+    b1 = acc.mvs_forward_bytes(CFG, H, W)
+    assert b1 > 0
+    b_half = acc.mvs_forward_bytes(CFG, H // 2, W // 2)
+    assert 0.2 < b_half / b1 < 0.3          # ~4x fewer pixels everywhere
+    cfg5 = CFG.replace(view_num=5)
+    assert acc.mvs_forward_bytes(cfg5, H, W) < b1
+    assert acc.train_step_bytes(CFG, H, W) == 3.0 * b1
+    # sanity scale: the volumes at this operating point are tens-of-MB
+    # class objects touched a handful of times -> a few GB per step,
+    # i.e. an HBM term of single-digit ms at the 819 GB/s peak (a LOWER
+    # bound — the denominator's role, like floor_ms for the gathers)
+    assert 1e9 < acc.train_step_bytes(CFG, H, W) < 2e10
+
+
+def test_achieved_ns_per_row_fields():
+    """Measured-probe plumbing: achieved ns/row + overlap efficiency."""
+    rows_w = acc.warp_rows(CFG, H, W)
+    floor_s = rows_w * (acc.GATHER_NS_PER_ROW + acc.SCATTER_NS_PER_ROW) * 1e-9
+    out = acc.perf_accounting(CFG, H, W, 0.1935, 0.3175,
+                              warp_fwd_bwd_s=floor_s * 1.25,
+                              feat_fwd_s=0.2)
+    a = out["achieved_ns_per_row"]
+    assert abs(a["warp_overlap_eff"] - 0.8) < 0.01
+    assert a["warp_fwd_bwd"] > acc.GATHER_NS_PER_ROW
+    assert a["featurization_fwd"] > 0
+    assert 0 < a["featurization_overlap_eff"] <= 1.5

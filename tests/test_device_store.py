@@ -207,6 +207,165 @@ def test_ray_dp_store_matches_host(cfg, dataset, store):
     assert np.isfinite(float(m2["loss"]))
 
 
+def test_scene_dp_store_matches_host(cfg, dataset, store):
+    """Store-fed scene-DP step == host-fed scene-DP step on the 8-device
+    virtual mesh (round-5: the store now feeds the scene-batched modes —
+    VERDICT r4 item 2; previously scene-DP staged K*S*~35 MB through the
+    host per dispatch)."""
+    from ucnerf_tpu.parallel.mesh import make_mesh
+    from ucnerf_tpu.parallel.sharding import (
+        make_parallel_train_step, make_parallel_train_step_store,
+        make_parallel_train_step_scan, make_parallel_train_step_scan_store,
+        replicate_state, shard_scene_batch, stack_batches)
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    S = 8
+    mesh = make_mesh((S,), ("data",))
+    dataset.set_epoch(1)
+    nerf, mvs = create_models(cfg)
+    params = init_params(cfg, jax.random.PRNGKey(0), (32, 64))
+    tx = make_optimizer(cfg, steps_per_epoch=len(dataset))
+    keys = jax.random.split(jax.random.PRNGKey(5), S)
+
+    idxs = [i % len(dataset) for i in range(S)]
+    st0 = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+    st_h = replicate_state(st0, mesh)
+    step_h = make_parallel_train_step(cfg, nerf, mvs, tx, mesh)
+    st_h, m_h = step_h(
+        st_h, shard_scene_batch(stack_batches([dataset[i] for i in idxs]),
+                                mesh), keys)
+
+    st_s = replicate_state(st0, mesh)
+    step_s = make_parallel_train_step_store(cfg, nerf, mvs, tx, mesh)
+    inds = to_device_batch(stack_batches(
+        [sample_indices(dataset, i) for i in idxs]))
+    st_s, m_s = step_s(st_s, store, inds, keys)
+
+    np.testing.assert_allclose(float(m_h["loss"]), float(m_s["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(st_h.params),
+                    jax.tree.leaves(st_s.params)):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() <= 3 * cfg.lrate
+
+    # K-scan variant: [K, S] payloads vs the host-fed scan
+    K = 2
+    kidx = [[(k * S + i) % len(dataset) for i in range(S)] for k in range(K)]
+    kkeys = jax.random.split(jax.random.PRNGKey(9), K * S).reshape(K, S, -1)
+    hb = stack_batches([dataset[i] for row in kidx for i in row])
+    hb = jax.tree.map(lambda x: x.reshape(K, S, *x.shape[1:]), hb)
+    from ucnerf_tpu.parallel.sharding import shard_scene_batch_scan
+    st_hk = replicate_state(st0, mesh)
+    st_hk, m_hk = make_parallel_train_step_scan(cfg, nerf, mvs, tx, mesh)(
+        st_hk, shard_scene_batch_scan(hb, mesh), kkeys)
+
+    ib = stack_batches([sample_indices(dataset, i)
+                        for row in kidx for i in row])
+    ib = to_device_batch(jax.tree.map(
+        lambda x: x.reshape(K, S, *x.shape[1:]), ib))
+    st_sk = replicate_state(st0, mesh)
+    st_sk, m_sk = make_parallel_train_step_scan_store(
+        cfg, nerf, mvs, tx, mesh)(st_sk, store, ib, kkeys)
+
+    assert int(st_sk.step) == K
+    np.testing.assert_allclose(float(m_hk["loss"]), float(m_sk["loss"]),
+                               rtol=2e-2)
+    for a, b in zip(jax.tree.leaves(st_hk.params),
+                    jax.tree.leaves(st_sk.params)):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() <= 2 * K * cfg.lrate
+
+
+def test_grid_store_matches_host(cfg, dataset, store):
+    """Store-fed 2D-grid step == host-fed grid step on a (2, 4) mesh."""
+    from ucnerf_tpu.parallel.mesh import make_mesh
+    from ucnerf_tpu.parallel.sharding import (
+        make_parallel_train_step_grid, make_parallel_train_step_grid_store,
+        replicate_state, shard_scene_batch, stack_batches)
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    S = 2
+    mesh = make_mesh((S, 4), ("data", "rays"))
+    dataset.set_epoch(2)
+    nerf, mvs = create_models(cfg)
+    params = init_params(cfg, jax.random.PRNGKey(0), (32, 64))
+    tx = make_optimizer(cfg, steps_per_epoch=len(dataset))
+    keys = jax.random.split(jax.random.PRNGKey(3), S)
+    st0 = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+    st_h = replicate_state(st0, mesh)
+    step_h = make_parallel_train_step_grid(cfg, nerf, mvs, tx, mesh,
+                                           "data", "rays")
+    st_h, m_h = step_h(
+        st_h, shard_scene_batch(stack_batches([dataset[0], dataset[1]]),
+                                mesh), keys)
+
+    st_s = replicate_state(st0, mesh)
+    step_s = make_parallel_train_step_grid_store(cfg, nerf, mvs, tx, mesh,
+                                                 "data", "rays")
+    inds = to_device_batch(stack_batches(
+        [sample_indices(dataset, 0), sample_indices(dataset, 1)]))
+    st_s, m_s = step_s(st_s, store, inds, keys)
+
+    np.testing.assert_allclose(float(m_h["loss"]), float(m_s["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(st_h.params),
+                    jax.tree.leaves(st_s.params)):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() <= 3 * cfg.lrate
+
+
+def test_synthetic_multi_scan(cfg):
+    """--n_scans N procedural scenes: synth0 stays bit-identical to the
+    single-scan dataset (existing tests/benches unchanged), the other
+    scans are decorrelated, metas span all scans, and the store composes
+    (multi-scene training with no external data — the reference's normal
+    regime, ``data/scared.py:255-273``)."""
+    from ucnerf_tpu.config import parse_config
+    from ucnerf_tpu.data import build_dataset
+
+    c1 = parse_config(["--dataset_name", "synthetic", "--view_num", "4",
+                       "--n_depth_rays", "32", "--samples_per_scene", "4"])
+    c3 = parse_config(["--dataset_name", "synthetic", "--view_num", "4",
+                       "--n_depth_rays", "32", "--samples_per_scene", "4",
+                       "--n_scans", "3"])
+    ds1 = build_dataset(c1.replace(datadir=""), "train")
+    ds3 = build_dataset(c3.replace(datadir=""), "train")
+    assert ds3.scans == ["synth0", "synth1", "synth2"]
+    assert len(ds3) == 3 * len(ds1) == 12
+    np.testing.assert_array_equal(ds3.scene["synth0"]["images"],
+                                  ds1.scene["synth0"]["images"])
+    np.testing.assert_array_equal(ds3.scene["synth0"]["c2ws"],
+                                  ds1.scene["synth0"]["c2ws"])
+    # scans are decorrelated (geometry AND texture)
+    assert np.abs(ds3.scene["synth0"]["images"]
+                  - ds3.scene["synth1"]["images"]).max() > 0.1
+    assert np.abs(ds3.scene["synth0"]["depths"].mean()
+                  - ds3.scene["synth1"]["depths"].mean()) > 0.1
+    assert {m[0] for m in ds3.metas} == {"synth0", "synth1", "synth2"}
+
+    # store composes: bit-exact gathers for a sample of each scan
+    st = build_store(ds3)
+    gather = jax.jit(gather_batch)
+    ds3.set_epoch(1)
+    seen = set()
+    for idx in range(len(ds3)):
+        scan = ds3.metas[idx][0]
+        if scan in seen:
+            continue
+        seen.add(scan)
+        host = ds3[idx]
+        dev = gather(st, to_device_batch(sample_indices(ds3, idx)))
+        for k in ("images", "sparse_depths", "dpt", "near_fars"):
+            np.testing.assert_array_equal(np.asarray(host[k]),
+                                          np.asarray(dev[k]), err_msg=k)
+    assert seen == {"synth0", "synth1", "synth2"}
+
+    # the val split exists per scan (per-scan metric rows downstream)
+    val3 = build_dataset(c3.replace(datadir=""), "val")
+    assert {m[0] for m in val3.metas} == {"synth0", "synth1", "synth2"}
+
+
 def test_store_multi_scan_padding(cfg):
     """Scans with UNEQUAL view counts: the store pads the view axis to the
     widest scan and gathers must stay bit-exact for every scan (the

@@ -405,6 +405,88 @@ def test_scan_donation_matches_plain(cfg, dataset):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_chained_workflow_handoffs(tmp_path):
+    """The reference's intended lifecycle as one pipeline (reference
+    ``network/models.py:240-250``, ``scripts/train_scared.sh:10``):
+    --mvs_only pretrain -> --ckpt_params_only seed -> full train ->
+    --ckpt_params_only + --finetune refine.  Each hand-off must load
+    params ONLY (fresh optimizer, step 0) — a full orbax resume would
+    fast-position past the restored step and train ZERO steps when the
+    epoch budgets match (the round-4 advisor finding)."""
+    import os
+
+    import train as train_cli
+    from ucnerf_tpu.utils import checkpoint_io
+
+    base = ["--dataset_name", "synthetic", "--view_num", "4",
+            "--N_samples", "9", "--batch_size", "80", "--patch_size", "4",
+            "--patch_num", "4", "--n_depth_rays", "32", "--chunk", "256",
+            "--samples_per_scene", "4", "--steps_per_dispatch", "2",
+            "--num_epochs", "1", "--lrate", "5e-4",
+            "--val_every_epochs", "9", "--seed", "2",
+            "--basedir", str(tmp_path)]
+
+    def last_ckpt(expname):
+        return str(sorted((tmp_path / expname / "ckpts").iterdir(),
+                          key=lambda p: int(p.name.split("_")[1]))[-1])
+
+    class Loaded:
+        """params + step of a phase's final checkpoint, loaded without
+        needing that phase's optimizer structure (phases use different
+        optimizers: plain adam vs the finetune multi_transform)."""
+
+        def __init__(self, expname):
+            cfg0 = Config(dataset_name="synthetic", view_num=4,
+                          N_samples=9, batch_size=80, patch_size=4,
+                          patch_num=4, n_depth_rays=32)
+            target = init_params(cfg0, jax.random.PRNGKey(0), (32, 64))
+            ck = last_ckpt(expname)
+            self.params = checkpoint_io.load_params(ck, target)
+            self.step = int(os.path.basename(ck).split("_")[1])
+
+    load_state = Loaded
+
+    # phase 1: MVS-only boot from scratch
+    train_cli.main(base + ["--expname", "boot", "--mvs_only"])
+    s_boot = load_state("boot")
+    assert int(s_boot.step) == 4
+
+    # phase 2: full objective seeded from the boot params.  Equal epoch
+    # budgets — WITHOUT --ckpt_params_only this trains zero steps.
+    train_cli.main(base + ["--expname", "full", "--ckpt", last_ckpt("boot"),
+                           "--ckpt_params_only"])
+    s_full = load_state("full")
+    assert int(s_full.step) == 4          # it actually trained this phase
+    # the NeRF (untouched by the boot) trained in the full phase
+    assert any(np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+               for a, b in zip(jax.tree.leaves(s_boot.params["nerf"]),
+                               jax.tree.leaves(s_full.params["nerf"])))
+
+    # phase 3: finetune refine seeded from the full params — the MVS tree
+    # must come over bit-identically and stay frozen through the phase
+    train_cli.main(base + ["--expname", "refine", "--finetune", "synth0",
+                           "--ckpt", last_ckpt("full"),
+                           "--ckpt_params_only"])
+    s_ft = load_state("refine")
+    assert int(s_ft.step) == 4
+    for a, b in zip(jax.tree.leaves(s_full.params["mvs"]),
+                    jax.tree.leaves(s_ft.params["mvs"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert any(np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+               for a, b in zip(jax.tree.leaves(s_full.params["nerf"]),
+                               jax.tree.leaves(s_ft.params["nerf"])))
+
+    # regression guard for the defect itself: the SAME hand-off without
+    # --ckpt_params_only full-resumes and trains nothing new
+    train_cli.main(base + ["--expname", "noflag",
+                           "--ckpt", last_ckpt("boot")])
+    s_nf = load_state("noflag")
+    assert int(s_nf.step) == 4            # restored step, no new steps
+    for a, b in zip(jax.tree.leaves(s_boot.params),
+                    jax.tree.leaves(s_nf.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_kill_resume_bit_identical(tmp_path):
     """Exact resume: a run killed after 2 epochs and resumed from its orbax
     checkpoint must land on the SAME final parameters as an uninterrupted

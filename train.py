@@ -99,10 +99,10 @@ class Validator:
                     ".state_dict(), 'lpips_alex.pth'))", file=sys.stderr)
         return self._lpips_fn
 
-    def __call__(self, params, step_idx: int):
+    def __call__(self, params, step_idx: int, final: bool = False):
         if self.cfg.mvs_only:
             return run_mvs_validation(self.cfg, self, params, step_idx)
-        return run_validation(self.cfg, self, params, step_idx)
+        return run_validation(self.cfg, self, params, step_idx, final=final)
 
 
 def run_mvs_validation(cfg, validator: Validator, params, step_idx: int):
@@ -132,13 +132,40 @@ def run_mvs_validation(cfg, validator: Validator, params, step_idx: int):
     return metrics
 
 
-def run_validation(cfg, validator: Validator, params, step_idx: int):
+def run_validation(cfg, validator: Validator, params, step_idx: int,
+                   final: bool = False):
+    import queue
+    import threading
     import time
     t_val = time.perf_counter()
     val_ds = validator.val_ds
     render_view = validator.render_view
     out_dir = os.path.join(cfg.basedir, cfg.expname, "test_results")
     os.makedirs(out_dir, exist_ok=True)
+    panels = (cfg.val_panels == "all"
+              or (cfg.val_panels == "final" and final))
+
+    # Panel PNG encode+write runs on a worker thread: the cv2/libpng work
+    # releases the GIL, so it overlaps the remaining device fetches and
+    # the metric computation instead of serializing on the 1-core host
+    # (round-4 measured 850-1250 ms/view of which the render is ~320 ms —
+    # host image IO dominated).
+    panel_q, panel_err = queue.Queue(), []
+
+    def _panel_worker():
+        while True:
+            job = panel_q.get()
+            if job is None:
+                return
+            try:
+                save_val_panel(*job)
+            except Exception as e:      # re-raised after join
+                panel_err.append(e)
+
+    panel_th = None
+    if panels:
+        panel_th = threading.Thread(target=_panel_worker, daemon=True)
+        panel_th.start()
 
     # Pipeline: dispatch every view before fetching any — jax dispatch is
     # async, so the host loads/saves view k while the device renders k+1.
@@ -161,16 +188,17 @@ def run_validation(cfg, validator: Validator, params, step_idx: int):
         pred_depths.append(depth)
         masks.append((sample["depths_h"] > 0).astype(np.float32))
         scans.append(int(sample["scan_idx"]))
-        save_val_panel(os.path.join(out_dir,
-                                    f"{step_idx:08d}_{i:02d}.png"),
-                       gt, rgb, sample["depths_h"], depth)
+        if panels:
+            panel_q.put((os.path.join(out_dir,
+                                      f"{step_idx:08d}_{i:02d}.png"),
+                         gt, rgb, sample["depths_h"], depth))
 
     # per-scene metrics averaged across scenes (reference
     # on_validation_epoch_end groups val views per scan, train.py:342-379)
     lpips_fn = validator.lpips_fn
     scans = np.asarray(scans)
     names = ["abs_rel", "sq_rel", "rmse", "rmse_log", "a1", "a2", "a3"]
-    rgb_rows, depth_rows = [], []
+    rgb_rows, depth_rows, per_scan = [], [], {}
     for s in sorted(set(scans.tolist())):
         sel = np.where(scans == s)[0]
         print(val_ds.scans[s])
@@ -178,11 +206,15 @@ def run_validation(cfg, validator: Validator, params, step_idx: int):
             np.stack([gt_rgbs[j] for j in sel]),
             np.stack([pred_rgbs[j] for j in sel]), lpips_fn=lpips_fn)
         rgb_rows.append([psnr_v, ssim_v, lpips_v])
+        row = dict(psnr=psnr_v, ssim=ssim_v, lpips=lpips_v)
         gt_d = np.stack([gt_depths[j] for j in sel])
         if (gt_d > 0).any():
-            depth_rows.append(depth_evaluation(
+            derr_s = depth_evaluation(
                 gt_d, np.stack([pred_depths[j] for j in sel]),
-                np.stack([masks[j] for j in sel])))
+                np.stack([masks[j] for j in sel]))
+            depth_rows.append(derr_s)
+            row.update(dict(zip(names, np.asarray(derr_s).tolist())))
+        per_scan[val_ds.scans[s]] = row
     psnr_v, ssim_v, lpips_v = np.stack(rgb_rows).mean(axis=0).tolist()
     print(f"psnr: {psnr_v}, ssim: {ssim_v}, lpips: {lpips_v}")
     metrics = dict(psnr=psnr_v, ssim=ssim_v, lpips=lpips_v)
@@ -190,8 +222,21 @@ def run_validation(cfg, validator: Validator, params, step_idx: int):
         derr = np.stack(depth_rows).mean(axis=0)
         print(", ".join(f"{n}: {v}" for n, v in zip(names, derr)))
         metrics.update(dict(zip(names, derr.tolist())))
+    if len(per_scan) > 1:
+        # multi-scene run: record the per-scan spread next to the means
+        # (reference groups val views per scan too, train.py:342-379)
+        metrics["per_scan"] = per_scan
+        for name, row in per_scan.items():
+            print(f"  {name}: " + ", ".join(
+                f"{k}: {v:.4f}" for k, v in row.items()
+                if np.isfinite(v)))
     with open(os.path.join(out_dir, "rgb_evaluation.txt"), "w") as fh:
         fh.write(json.dumps(metrics, indent=1))
+    if panel_th is not None:
+        panel_q.put(None)
+        panel_th.join()
+        if panel_err:
+            raise panel_err[0]
     wall = time.perf_counter() - t_val
     print(f"validation: {len(val_ds)} views in {wall:.2f}s "
           f"({wall / max(len(val_ds), 1) * 1e3:.0f} ms/view incl. "
@@ -235,11 +280,14 @@ def main(argv=None):
             conv = checkpoint_io.load_params_npz(cfg.ckpt)
             params = {**params, **jax.tree.map(jnp.asarray, conv)}
         else:
-            tx0 = make_optimizer(cfg, steps_per_epoch=len(train_ds))
-            target = TrainState(params, tx0.init(params),
-                                jnp.zeros((), jnp.int32))
-            params = checkpoint_io.load_checkpoint(cfg.ckpt, target).params
-        print(f"restored params from {cfg.ckpt}")
+            # restore the params subtree only — structure-independent of
+            # whatever optimizer the saved run used, so checkpoints seed
+            # across objective changes (mvs_only -> full -> finetune)
+            params = jax.tree.map(jnp.asarray,
+                                  checkpoint_io.load_params(cfg.ckpt,
+                                                            params))
+        print(f"restored params from {cfg.ckpt}"
+              + (" (params only)" if cfg.ckpt_params_only else ""))
 
     n_par = int(np.prod(cfg.mesh_shape))
     mesh = None
@@ -249,13 +297,18 @@ def main(argv=None):
 
     validator = Validator(cfg, nerf, mvs, mesh=mesh)
     if cfg.eval:
-        validator(params, 0)
+        validator(params, 0, final=True)
         return
 
     tx = make_optimizer(cfg, steps_per_epoch=len(train_ds))
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
-    if cfg.ckpt and not cfg.ckpt.endswith((".tar", ".ckpt", ".pth", ".npz")):
-        # orbax checkpoints resume the FULL state (params + optimizer + step)
+    if (cfg.ckpt and not cfg.ckpt_params_only
+            and not cfg.ckpt.endswith((".tar", ".ckpt", ".pth", ".npz"))):
+        # orbax checkpoints resume the FULL state (params + optimizer +
+        # step).  For cross-objective seeding (mvs_only boot -> full run,
+        # full -> finetune) pass --ckpt_params_only instead: a full resume
+        # would fast-position past the restored step count, which is wrong
+        # across a phase boundary (see config.py).
         state = checkpoint_io.load_checkpoint(cfg.ckpt, state)
         print(f"resumed full train state at step {int(state.step)}")
 
@@ -270,9 +323,14 @@ def main(argv=None):
             make_parallel_train_step_rays_scan_store, replicate_state)
         state = replicate_state(state, mesh)
         if cfg.device_dataset:
+            from jax.sharding import NamedSharding, PartitionSpec as P
             from ucnerf_tpu.data.device_store import (build_store,
                                                       store_nbytes)
-            store = build_store(train_ds)
+            # place the store replicated ONCE at build time — relying on
+            # the step's with_sharding_constraint alone would re-broadcast
+            # the (possibly hundreds of MB) store inside every dispatch
+            store = jax.device_put(build_store(train_ds),
+                                   NamedSharding(mesh, P()))
             print(f"device scene store: {store_nbytes(store) / 1e6:.0f} MB "
                   "replicated over the mesh")
             pstep = make_parallel_train_step_rays_store(cfg, nerf, mvs, tx,
@@ -295,31 +353,51 @@ def main(argv=None):
         # - "scenes": n_par scenes/step, one scene per device;
         # - "grid":   2D mesh (scene_axis, ray_axis) — mesh_shape[0]
         #   scenes/step, each scene's rays sharded mesh_shape[1]-way.
-        from ucnerf_tpu.parallel.sharding import (
-            make_parallel_train_step, make_parallel_train_step_grid,
-            make_parallel_train_step_grid_scan,
-            make_parallel_train_step_scan,
-            replicate_state, shard_scene_batch, stack_batches)
-        state = replicate_state(state, mesh)
+        # With --device_dataset (default) the S-scene batch is gathered
+        # from the mesh-replicated store inside the jit — no K*S*~35 MB
+        # host staging per dispatch.
+        from ucnerf_tpu.parallel import sharding as psh
+        state = psh.replicate_state(state, mesh)
         if cfg.parallel_mode == "scenes":
-            pstep = make_parallel_train_step(cfg, nerf, mvs, tx, mesh)
-            if cfg.steps_per_dispatch > 1:
-                pstep_scan = make_parallel_train_step_scan(cfg, nerf, mvs,
-                                                           tx, mesh)
+            step_args = (cfg, nerf, mvs, tx, mesh)
         elif cfg.parallel_mode == "grid":
             if len(cfg.mesh_shape) != 2:
                 raise ValueError("--parallel_mode grid needs a 2D mesh, "
                                  f"e.g. --mesh_shape 2 4 --mesh_axes data "
                                  f"rays (got mesh_shape={cfg.mesh_shape})")
             sc_ax, ray_ax = cfg.mesh_axes
-            pstep = make_parallel_train_step_grid(cfg, nerf, mvs, tx, mesh,
-                                                  sc_ax, ray_ax)
-            if cfg.steps_per_dispatch > 1:
-                pstep_scan = make_parallel_train_step_grid_scan(
-                    cfg, nerf, mvs, tx, mesh, sc_ax, ray_ax)
+            step_args = (cfg, nerf, mvs, tx, mesh, sc_ax, ray_ax)
         else:
             raise ValueError(f"unknown parallel_mode {cfg.parallel_mode!r}"
                              " (rays | scenes | grid)")
+        grid = cfg.parallel_mode == "grid"
+        if cfg.device_dataset:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ucnerf_tpu.data.device_store import (build_store,
+                                                      store_nbytes)
+            store = jax.device_put(build_store(train_ds),
+                                   NamedSharding(mesh, P()))
+            print(f"device scene store: {store_nbytes(store) / 1e6:.0f} MB "
+                  "replicated over the mesh")
+            mk_one = (psh.make_parallel_train_step_grid_store if grid
+                      else psh.make_parallel_train_step_store)
+            raw = mk_one(*step_args)
+            pstep = lambda state, inds, keys: raw(state, store, inds, keys)
+            if cfg.steps_per_dispatch > 1:
+                mk_scan = (psh.make_parallel_train_step_grid_scan_store
+                           if grid else
+                           psh.make_parallel_train_step_scan_store)
+                raw_scan = mk_scan(*step_args)
+                pstep_scan = lambda state, inds, keys: raw_scan(
+                    state, store, inds, keys)
+        else:
+            pstep = (psh.make_parallel_train_step_grid(*step_args) if grid
+                     else psh.make_parallel_train_step(*step_args))
+            if cfg.steps_per_dispatch > 1:
+                pstep_scan = (
+                    psh.make_parallel_train_step_grid_scan(*step_args)
+                    if grid else
+                    psh.make_parallel_train_step_scan(*step_args))
 
         def step(state, batches_keys, _key):
             batch, keys = batches_keys
@@ -357,9 +435,9 @@ def main(argv=None):
     # scene-batched modes ("scenes": one scene per device; "grid": one
     # scene per scene-axis row, rays sharded along the ray axis)
     scene_dp = n_par > 1 and cfg.parallel_mode in ("scenes", "grid")
-    if cfg.device_dataset and not scene_dp:
-        # serial AND ray-DP paths run store-fed (scene-DP keeps the host
-        # loader: its batches span multiple scenes per dispatch)
+    if cfg.device_dataset:
+        # EVERY mode runs store-fed: the host ships ~10 KB index payloads
+        # and the jitted step gathers the sample(s) from the resident store
         from ucnerf_tpu.data.device_store import sample_indices
         fetch = lambda j: sample_indices(train_ds, j)
     else:
@@ -447,7 +525,16 @@ def main(argv=None):
             # device groups and the usual 200*scans epoch divides evenly
 
             def load_group(g):
-                b = stack_batches([train_ds[int(j)] for j in g])
+                b = stack_batches([fetch(int(j)) for j in g])
+                if cfg.device_dataset:
+                    # tiny index payloads — ship as-is; the jitted step
+                    # gathers + scene-shards from the replicated store
+                    if len(g) != n_scenes:
+                        b = jax.tree.map(
+                            lambda x: x.reshape(K, n_scenes, *x.shape[1:]),
+                            b)
+                    return ("one" if len(g) == n_scenes else "scan",
+                            to_device_batch(b))
                 if len(g) == n_scenes:
                     return ("one", shard_scene_batch(b, mesh))
                 b = jax.tree.map(
@@ -529,10 +616,16 @@ def main(argv=None):
             if cfg.stop_after_steps and global_step >= cfg.stop_after_steps:
                 break
         if cfg.stop_after_steps and global_step >= cfg.stop_after_steps:
-            # simulated mid-run kill: checkpoint and exit (no final val)
+            # simulated mid-run kill: checkpoint and exit (no final val).
+            # If the periodic async save above already targeted this exact
+            # step, don't issue a second save of the same path while the
+            # first commit may still be in flight — just drain it.
             print(f"stop_after_steps: halting at step {global_step}")
-            checkpoint_io.save_checkpoint(ckpt_dir, state, global_step,
-                                          keep=cfg.keep_ckpts)
+            if last_saved == global_step:
+                checkpoint_io.wait_for_checkpoints()
+            else:
+                checkpoint_io.save_checkpoint(ckpt_dir, state, global_step,
+                                              keep=cfg.keep_ckpts)
             writer.close()
             return
         if (epoch + 1) % cfg.val_every_epochs == 0:
@@ -543,7 +636,7 @@ def main(argv=None):
                                       keep=cfg.keep_ckpts)
     else:
         checkpoint_io.wait_for_checkpoints()
-    validator(state.params, global_step)
+    validator(state.params, global_step, final=True)
     writer.close()
 
 

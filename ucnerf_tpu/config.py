@@ -50,6 +50,12 @@ class Config:
     img_downscale: float = 1.0
     pad: int = 0
     view_num: int = 5                 # V: 1 target + (V-1) source views
+    n_scans: int = 1                  # synthetic dataset only: number of
+                                      # decorrelated procedural scenes —
+                                      # exercises the multi-scene regime
+                                      # (metas spanning scans, per-scan val
+                                      # metrics, store view padding) with
+                                      # no external data
 
     # ray budget (reference opt.py:20-24, 80; utils/utils.py:434,450-480)
     samples_per_scene: int = 200      # train metas per scene per epoch
@@ -106,6 +112,21 @@ class Config:
                                       # objective from the resulting
                                       # checkpoint via --ckpt.
     ckpt: Optional[str] = None
+    ckpt_params_only: bool = False    # load ONLY the parameters from an
+                                      # orbax --ckpt dir (fresh optimizer,
+                                      # step 0) — the cross-OBJECTIVE seed
+                                      # for phase hand-offs: an --mvs_only
+                                      # boot checkpoint seeding a full run,
+                                      # or a full checkpoint seeding a
+                                      # --finetune refine.  Without it an
+                                      # orbax --ckpt is a full resume
+                                      # (step + Adam state restored), which
+                                      # fast-positions past the restored
+                                      # step count — wrong across a phase
+                                      # boundary (with equal epoch budgets
+                                      # the new phase would train 0 steps).
+                                      # No effect on .tar/.ckpt/.npz seeds
+                                      # (those are always params-only).
     keep_ckpts: int = 0               # prune to the newest N step_* dirs
                                       # (0 = keep all, like the reference's
                                       # 5000-step .tar dumps, train.py:404)
@@ -196,20 +217,32 @@ class Config:
     # for exact parity; 2 halves eval cost with no training effect.
     val_every_epochs: int = 2
 
+    # validation panel images (the reference writes a matplotlib 2x2 panel
+    # per val view EVERY validation, train.py:294-316 — hundreds of ms of
+    # host IO per view on a 1-core host).  "final": panels only at the
+    # final validation of the run (and under --eval) — the deliberate
+    # default, since mid-run panels mostly go unlooked-at while their IO
+    # dominates validation wall time; "all": reference parity; "none":
+    # never.  Panel writes run on a worker thread either way, overlapping
+    # the metric computation + device fetches.
+    val_panels: str = "final"         # all | final | none
+
     # stratified-jitter the eval-time depth candidates, like the reference
     # does even at eval (utils/utils.py:705-706).  Default off (deterministic
     # midpoint renders are reproducible); turn on for reference-parity runs.
     eval_jitter: bool = False
 
-    # Device-resident scene store for single-device training
-    # (data/device_store.py): each scan's arrays upload ONCE and the
-    # jitted step gathers samples by index — per step the host ships
-    # ~10 KB instead of ~35 MB.  Bit-exact vs host loading (tested).
-    # Measured end-to-end (round-4 soak): host loading sustains only
-    # ~380 ms/step against the 193 ms synced step; the store closes that
-    # gap.  Costs HBM (full SCARED scene set: a few hundred MB; the
-    # store prints its size at startup) — turn off if the scene set
-    # outgrows the chip.  Multi-chip modes keep the host loader.
+    # Device-resident scene store (data/device_store.py): each scan's
+    # arrays upload ONCE and the jitted step gathers samples by index —
+    # per step the host ships ~10 KB instead of ~35 MB.  Bit-exact vs
+    # host loading (tested).  Measured end-to-end (round-4 soak): host
+    # loading sustains only ~380 ms/step against the 193 ms synced step;
+    # the store closes that gap.  Feeds EVERY mode: serial, ray-DP
+    # (store replicated over the mesh), scene-DP and grid (S index
+    # payloads per dispatch, gathered + scene-sharded inside the jit).
+    # Costs HBM (full SCARED scene set: a few hundred MB, replicated
+    # per device under multi-chip; the store prints its size at
+    # startup) — turn off if the scene set outgrows the chip.
     device_dataset: bool = True
 
     # featurization path: True = per-ray column-gather fast path

@@ -35,4 +35,6 @@ def build_dataset(cfg, split: str):
         kw["n_images"] = max(12, 2 * cfg.view_num)
         if cfg.img_wh:
             kw["img_wh"] = tuple(cfg.img_wh)
+        if cfg.n_scans > 1:
+            kw["n_scans"] = cfg.n_scans
     return cls(cfg.datadir, **kw)

@@ -16,6 +16,7 @@ instead of recomputed (and re-written) on every construction
 from __future__ import annotations
 
 import glob
+import json
 import os
 
 import cv2
@@ -68,20 +69,61 @@ class ScaredDataset(SceneDataset):
             d = d[0]
         return cv2.resize(d.astype(np.float32), self.img_wh)
 
+    # ------------------------------------------------------------ scene cache
+    # Bump when the cache LAYOUT changes so old files rebuild instead of
+    # misloading.  (The key below also covers parameter/source changes.)
+    CACHE_FORMAT_VERSION = 2
+
+    def _cache_key(self, scan) -> str:
+        """Fingerprint of everything the cached arrays depend on.
+
+        A `_ucnerf_cache.npz` built at one resolution/downsample or from
+        older COLMAP/DPT artifacts must NOT be silently reused after any
+        of those change (best case a shape crash far from the cause,
+        worst case silently training at the wrong resolution) — the
+        opposite failure mode of the reference, which REBUILDS+rewrites
+        on every single construction (``data/scared.py:293,343``).
+        Covered: format version, img_wh, downsample, and (size, mtime_ns)
+        of poses_bounds.npy + every sparse/0 model file + the image count.
+        """
+        sdir = self._scene_dir(scan)
+
+        def fp(path):
+            st = os.stat(path)
+            return [os.path.basename(path), int(st.st_size),
+                    int(st.st_mtime_ns)]
+
+        sources = []
+        pb = os.path.join(sdir, "poses_bounds.npy")
+        if os.path.exists(pb):
+            sources.append(fp(pb))
+        for p in sorted(glob.glob(os.path.join(sdir, "sparse", "0", "*"))):
+            sources.append(fp(p))
+        n_images = len(glob.glob(os.path.join(sdir, "images", "*")))
+        return json.dumps(dict(
+            version=self.CACHE_FORMAT_VERSION,
+            img_wh=list(self.img_wh), downsample=self.downsample,
+            n_images=n_images, sources=sources), sort_keys=True)
+
     # ------------------------------------------------------------ scene load
     def _load_scene(self, scan):
         sdir = self._scene_dir(scan)
         cache = os.path.join(sdir, "_ucnerf_cache.npz")
+        key = self._cache_key(scan)
         if os.path.exists(cache):
-            return self._load_cache(cache)
+            scene = self._load_cache(cache, expect_key=key)
+            if scene is not None:
+                return scene
+            print(f"scene {scan}: stale _ucnerf_cache.npz "
+                  "(resolution/sources/format changed) — rebuilding")
         scene = self._load_scene_uncached(scan)
         try:
-            self._save_cache(cache, scene)
+            self._save_cache(cache, scene, key)
         except OSError:
             pass  # read-only dataset dirs are fine; just skip the cache
         return scene
 
-    def _save_cache(self, path, scene):
+    def _save_cache(self, path, scene, key: str):
         flat = {k: scene[k] for k in ("images", "depths", "dpt", "c2ws",
                                       "w2cs", "intrinsic", "near_far",
                                       "bounds")}
@@ -90,10 +132,16 @@ class ScaredDataset(SceneDataset):
                       "weights"):
                 flat[f"sparse{i}_{k}"] = e[k]
         flat["n_sparse"] = np.asarray(len(scene["sparse"]))
+        flat["cache_key"] = np.asarray(key)
         np.savez(path, **flat)
 
-    def _load_cache(self, path):
+    def _load_cache(self, path, expect_key: str = None):
         data = np.load(path, allow_pickle=False)
+        if expect_key is not None:
+            if "cache_key" not in data.files:   # pre-keying cache file
+                return None
+            if str(data["cache_key"]) != expect_key:
+                return None
         n = int(data["n_sparse"])
         sparse = [
             {k: data[f"sparse{i}_{k}"] for k in ("depth_img", "weight_img",

@@ -26,26 +26,36 @@ class SyntheticDataset(SceneDataset):
 
     def __init__(self, datadir="", split="train", n_views=5, img_wh=(64, 32),
                  n_images=12, plane_z=1.5, plane_tilt=0.15, focal=60.0,
-                 n_sparse=256, **kw):
+                 n_sparse=256, n_scans=1, **kw):
         self._n_images = n_images
         self._plane_z = plane_z
         self._plane_tilt = plane_tilt
         self._focal = focal
         self._n_sparse = n_sparse
+        self._n_scans = n_scans
         super().__init__(datadir, split, n_views, img_wh, **kw)
 
     def _discover_scans(self):
-        return ["synth0"]
+        # n_scans > 1 gives decorrelated procedural scenes (different
+        # plane geometry, texture phase, and sparse draws per scan) so
+        # multi-scene training — the reference's normal regime, metas
+        # spanning scans (``data/scared.py:255-273``) — runs with no
+        # external data.  synth0 is bit-identical to the single-scan
+        # scene regardless of n_scans.
+        return [f"synth{i}" for i in range(self._n_scans)]
 
     def _load_scene(self, scan):
+        si = int(scan[5:])
         W, H = self.img_wh
-        rng = np.random.default_rng(42)
+        rng = np.random.default_rng(42 + si)
         K = np.array([[self._focal, 0, W / 2],
                       [0, self._focal, H / 2], [0, 0, 1]], np.float32)
 
         # plane: z = z0 + a*x + b*y  (world frame; cameras near origin, +z fwd)
-        a, b = self._plane_tilt, -0.6 * self._plane_tilt
-        z0 = self._plane_z
+        a = self._plane_tilt * (1.0 + 0.35 * si)
+        b = -0.6 * self._plane_tilt * (1.0 - 0.25 * si)
+        z0 = self._plane_z + 0.3 * si
+        tex_dx, tex_dy = 2.17 * si, -1.31 * si
 
         c2ws = []
         for i in range(self._n_images):
@@ -81,7 +91,7 @@ class SyntheticDataset(SceneDataset):
             denom = d_w[..., 2] - a * d_w[..., 0] - b * d_w[..., 1]
             t = (z0 + a * o[0] + b * o[1] - o[2]) / denom
             p = o + t[..., None] * d_w
-            img = _texture(p[..., 0] * 6.0, p[..., 1] * 6.0)
+            img = _texture(p[..., 0] * 6.0 + tex_dx, p[..., 1] * 6.0 + tex_dy)
             images.append(normalize_image(img.astype(np.float32)))
             depth = t.astype(np.float32)  # camera z-depth (d_cam z == 1)
             depths.append(depth)

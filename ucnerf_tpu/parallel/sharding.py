@@ -241,6 +241,113 @@ def make_parallel_train_step_rays_scan_store(cfg: Config, nerf, mvs, tx,
     return train_steps
 
 
+def _scene_dp_loss_fn(cfg: Config, nerf, mvs):
+    """Scene-batched (vmapped, mean-reduced) loss shared by the scene-DP
+    step factories."""
+    def loss_fn(params, batch, keys):
+        def one(b, k):
+            return scene_loss(cfg, nerf, mvs, params, b, k)
+        losses, metrics = jax.vmap(one)(batch, keys)
+        return jnp.mean(losses), jax.tree.map(jnp.mean, metrics)
+    return loss_fn
+
+
+def _make_store_scene_steps(tx, mesh: Mesh, loss_fn, axis: str):
+    """(one-step, K-scan) store-fed scene-batched train steps.
+
+    Shared machinery of the store-fed scene-DP and grid factories below:
+    ``inds`` is the ~10 KB-per-scene index payload stacked [S] (scan:
+    [K, S]); the scene batch is gathered from the mesh-replicated store
+    INSIDE the jit (``data/device_store.py::gather_batch`` vmapped over
+    the scene axis) and constrained scene-sharded over ``axis`` exactly
+    like the host-fed steps' input batch, so everything downstream —
+    vmapped loss, grad psum, optimizer — is identical (bit-exact batch,
+    tested).  This removes the last host-staging wall: scene-batched
+    dispatches no longer ship K*S*~35 MB through the (1-core) host per
+    dispatch (the reference's answer is 8 DataLoader workers,
+    ``train.py:94-101``; a store upload once + index gathers is the
+    TPU-native one)."""
+    from ucnerf_tpu.data.device_store import gather_batch
+    repl = NamedSharding(mesh, P())
+
+    def gather_scenes(store, inds):
+        batch = jax.vmap(lambda i: gather_batch(store, i))(inds)
+        return jax.lax.with_sharding_constraint(
+            batch, jax.tree.map(
+                lambda x: NamedSharding(mesh, P(axis,
+                                                *([None] * (x.ndim - 1)))),
+                batch))
+
+    def one_update(st, store, inds, keys):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            st.params, gather_scenes(store, inds), keys)
+        grads = jax.lax.with_sharding_constraint(
+            grads, jax.tree.map(lambda _: repl, grads))
+        updates, opt_state = tx.update(grads, st.opt_state, st.params)
+        params = optax.apply_updates(st.params, updates)
+        return TrainState(params, opt_state, st.step + 1), metrics
+
+    @jax.jit
+    def train_step(state: TrainState, store, inds, keys):
+        store = jax.lax.with_sharding_constraint(
+            store, jax.tree.map(lambda _: repl, store))
+        return one_update(state, store, inds, keys)
+
+    @jax.jit
+    def train_steps(state: TrainState, store, ind_batches, keys):
+        store = jax.lax.with_sharding_constraint(
+            store, jax.tree.map(lambda _: repl, store))
+
+        def one(st, bk):
+            inds, k = bk
+            return one_update(st, store, inds, k)
+
+        state, ms = jax.lax.scan(one, state, (ind_batches, keys))
+        return state, jax.tree.map(lambda x: x[-1], ms)
+
+    return train_step, train_steps
+
+
+def make_parallel_train_step_store(cfg: Config, nerf, mvs, tx, mesh: Mesh,
+                                   axis: str = "data"):
+    """Store-fed scene-DP step: like ``make_parallel_train_step`` but the
+    S-scene batch is gathered from the device-resident store inside the
+    jit.  Signature: ``(state, store, inds [S], keys [S])``."""
+    return _make_store_scene_steps(
+        tx, mesh, _scene_dp_loss_fn(cfg, nerf, mvs), axis)[0]
+
+
+def make_parallel_train_step_scan_store(cfg: Config, nerf, mvs, tx,
+                                        mesh: Mesh, axis: str = "data"):
+    """K store-fed scene-DP steps per dispatch (``lax.scan``).
+    Signature: ``(state, store, ind_batches [K, S], keys [K, S])``."""
+    return _make_store_scene_steps(
+        tx, mesh, _scene_dp_loss_fn(cfg, nerf, mvs), axis)[1]
+
+
+def make_parallel_train_step_grid_store(cfg: Config, nerf, mvs, tx,
+                                        mesh: Mesh,
+                                        scene_axis: str = "data",
+                                        ray_axis: str = "rays"):
+    """Store-fed 2D-grid step: like ``make_parallel_train_step_grid`` with
+    the scene batch gathered from the store inside the jit.
+    Signature: ``(state, store, inds [S], keys [S])``."""
+    return _make_store_scene_steps(
+        tx, mesh, _grid_loss_fn(cfg, nerf, mvs, mesh, scene_axis, ray_axis),
+        scene_axis)[0]
+
+
+def make_parallel_train_step_grid_scan_store(cfg: Config, nerf, mvs, tx,
+                                             mesh: Mesh,
+                                             scene_axis: str = "data",
+                                             ray_axis: str = "rays"):
+    """K store-fed grid steps per dispatch (``lax.scan``).
+    Signature: ``(state, store, ind_batches [K, S], keys [K, S])``."""
+    return _make_store_scene_steps(
+        tx, mesh, _grid_loss_fn(cfg, nerf, mvs, mesh, scene_axis, ray_axis),
+        scene_axis)[1]
+
+
 def make_parallel_train_step_scan(cfg: Config, nerf, mvs, tx, mesh: Mesh,
                                   axis: str = "data"):
     """K scene-DP steps per dispatch: ``lax.scan`` over K mesh-sharded scene

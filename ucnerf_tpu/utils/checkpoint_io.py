@@ -88,6 +88,26 @@ def load_checkpoint(path: str, target_state):
     return type(target_state)(**restored)
 
 
+def load_params(path: str, target_params):
+    """Restore ONLY the ``params`` subtree of a saved TrainState.
+
+    The cross-objective seed (``--ckpt_params_only``): an ``--mvs_only``
+    boot checkpoint seeding a full run, or a full checkpoint seeding a
+    ``--finetune`` refine.  A full ``load_checkpoint`` needs a target
+    whose optimizer-state STRUCTURE matches the save — impossible across
+    an objective change (plain adam saves a list-shaped opt_state, the
+    finetune ``multi_transform`` expects a dict) — so this restores
+    partially, touching nothing but the parameters."""
+    import orbax.checkpoint as ocp
+    ckptr = ocp.PyTreeCheckpointer()
+    restored = ckptr.restore(
+        os.path.abspath(path),
+        args=ocp.args.PyTreeRestore(
+            item={"params": jax.tree.map(np.asarray, target_params)},
+            partial_restore=True))
+    return restored["params"]
+
+
 # ----------------------------------------------------- torch -> jax mapping
 def _t2j_linear(sd, prefix):
     return {"Dense_0": {"kernel": sd[prefix + ".weight"].T,
