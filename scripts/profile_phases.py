@@ -277,6 +277,56 @@ def main():
     results["step_single_dispatch"] = round(dt * 1e3, 2)
     print(f"step_single_dispatch: {dt * 1e3:.2f} ms", flush=True)
 
+    # --- eval-frame decomposition (render side of the attribution map):
+    # frame_total (production render), frame_feat (featurization gathers
+    # only, per-tile, same unroll).  frame_total - frame_feat -
+    # cascade_fwd ~= MLP + composite + ray build (the XLA-fused parts
+    # that can't be isolated without perturbing the fusion).
+    from ucnerf_tpu.render.fast_feats import gen_pts_feats_fast
+    from ucnerf_tpu.train.loop import (make_eval_render, prepare_view_ctx,
+                                       view_chunk_fns)
+    render_view = make_eval_render(cfg, nerf, mvs, (H, W))
+
+    def run_frame():
+        rgb, depth, conf = render_view(params, batch)
+        return jnp.sum(rgb)
+
+    dtf = timed(run_frame)
+    results["frame_total"] = round(dtf * 1e3, 2)
+    print(f"frame_total: {dtf * 1e3:.2f} ms", flush=True)
+
+    ctx = jax.jit(lambda p, b: prepare_view_ctx(cfg, nerf, mvs, p, b))(
+        params, batch)
+    build_chunk, _ = view_chunk_fns(cfg, nerf, H, W, ctx)
+    n_tiles = (H * W + cfg.chunk - 1) // cfg.chunk
+    tiles = jnp.arange(n_tiles * cfg.chunk) % (H * W)
+    tiles = tiles.reshape(n_tiles, cfg.chunk)
+
+    @jax.jit
+    def feat_frame():
+        def body(acc, pix):
+            rays = build_chunk(pix)
+            feats = gen_pts_feats_fast(
+                rays, ctx["feat_ctx"]["stage_volumes"],
+                ctx["feat_ctx"]["confidence"],
+                ctx["feat_ctx"]["quad_views"],
+                ctx["feat_ctx"]["src_w2cs"],
+                ctx["feat_ctx"]["src_intrinsics"],
+                ctx["feat_ctx"]["img_hw"])
+            return acc + jnp.sum(feats.astype(jnp.float32)) * 1e-12, None
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), tiles,
+                              unroll=cfg.eval_unroll)
+        return acc
+
+    dtff = timed(feat_frame)
+    results["frame_feat"] = round(dtff * 1e3, 2)
+    results["frame_mlp_composite_est"] = round(
+        (dtf - dtff - results["cascade_fwd"] / 1e3) * 1e3, 2)
+    print(f"frame_feat: {dtff * 1e3:.2f} ms; "
+          f"frame - feat - cascade_fwd = "
+          f"{results['frame_mlp_composite_est']:.2f} ms (MLP+composite+"
+          "ray build est.)", flush=True)
+
     print(json.dumps(results))
 
 

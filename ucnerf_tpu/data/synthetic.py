@@ -45,7 +45,10 @@ class SyntheticDataset(SceneDataset):
         return [f"synth{i}" for i in range(self._n_scans)]
 
     def _load_scene(self, scan):
-        si = int(scan[5:])
+        # scan index from the "synthN" name; subclasses with custom scan
+        # names (tests) get the base (si=0) scene
+        tail = scan[5:] if scan.startswith("synth") else ""
+        si = int(tail) if tail.isdigit() else 0
         W, H = self.img_wh
         rng = np.random.default_rng(42 + si)
         K = np.array([[self._focal, 0, W / 2],
