@@ -51,6 +51,23 @@ class Validator:
         self.cfg = cfg
         self.val_ds = build_dataset(cfg, "val")
         H, W = self.val_ds.img_wh[1], self.val_ds.img_wh[0]
+        # Store-fed validation (round-5): without it each val view ships a
+        # ~35 MB host-assembled sample over the tunnel before its render —
+        # measured 1.5-8.8 s/view against a ~0.3 s render (the spread is
+        # tunnel/checkpoint-IO contention on the 1-core host).  With the
+        # val scenes resident, a view's input is a ~10 KB index payload
+        # gathered on device; GT arrays for metrics stay host-side.
+        self.store = self._gather = None
+        if cfg.device_dataset:
+            from ucnerf_tpu.data.device_store import build_store, \
+                gather_batch
+            store = build_store(self.val_ds)
+            if mesh is not None and int(np.prod(cfg.mesh_shape)) > 1:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                store = jax.device_put(store, NamedSharding(mesh, P()))
+            self.store = store
+            self._gather = jax.jit(gather_batch)
+
         if cfg.mvs_only:
             # depth-only validation: Consistency-Learner forward, no NeRF
             import jax as _jax
@@ -99,6 +116,32 @@ class Validator:
                     ".state_dict(), 'lpips_alex.pth'))", file=sys.stderr)
         return self._lpips_fn
 
+    def val_batch(self, i: int):
+        """(device_batch, host_gt) for val view i.
+
+        Store path: the device batch is gathered from the resident store
+        (no host image upload); GT arrays for metrics come straight from
+        the dataset's scene arrays (no ``__getitem__`` assembly)."""
+        val_ds = self.val_ds
+        if self.store is not None:
+            from ucnerf_tpu.data.device_store import sample_indices
+            scan, ref, _ = val_ds.metas[i]
+            sc = val_ds.scene[scan]
+            H, W = val_ds.img_wh[1], val_ds.img_wh[0]
+            gt = dict(
+                image=np.asarray(sc["images"][ref], np.float32),
+                depth=(np.asarray(sc["depths"][ref], np.float32)
+                       if sc.get("depths") is not None
+                       else np.zeros((H, W), np.float32)),
+                scan_idx=val_ds.scans.index(scan))
+            batch = self._gather(self.store,
+                                 to_device_batch(sample_indices(val_ds, i)))
+            return batch, gt
+        sample = val_ds[i]
+        gt = dict(image=sample["images"][0], depth=sample["depths_h"],
+                  scan_idx=int(sample["scan_idx"]))
+        return to_device_batch(sample), gt
+
     def __call__(self, params, step_idx: int, final: bool = False):
         if self.cfg.mvs_only:
             return run_mvs_validation(self.cfg, self, params, step_idx)
@@ -112,12 +155,12 @@ def run_mvs_validation(cfg, validator: Validator, params, step_idx: int):
     val_ds = validator.val_ds
     out_dir = os.path.join(cfg.basedir, cfg.expname, "test_results")
     os.makedirs(out_dir, exist_ok=True)
-    samples, pending = [], []
+    gts, pending = [], []
     for i in range(len(val_ds)):
-        sample = val_ds[i]
-        samples.append(sample)
-        pending.append(validator.mvs_depth(params, to_device_batch(sample)))
-    gt_depths = np.stack([s["depths_h"] for s in samples])
+        batch, gt = validator.val_batch(i)
+        gts.append(gt)
+        pending.append(validator.mvs_depth(params, batch))
+    gt_depths = np.stack([g["depth"] for g in gts])
     pred = np.stack([np.asarray(d) for d, _ in pending])
     masks = (gt_depths > 0).astype(np.float32)
     names = ["abs_rel", "sq_rel", "rmse", "rmse_log", "a1", "a2", "a3"]
@@ -169,29 +212,31 @@ def run_validation(cfg, validator: Validator, params, step_idx: int,
 
     # Pipeline: dispatch every view before fetching any — jax dispatch is
     # async, so the host loads/saves view k while the device renders k+1.
-    samples, pending = [], []
+    # (Validator.val_batch keeps the ~35 MB/view sample upload off the
+    # tunnel when the store is on.)
+    gts, pending = [], []
     for i in range(len(val_ds)):
-        sample = val_ds[i]
-        samples.append(sample)
-        pending.append(render_view(params, to_device_batch(sample)))
+        batch, gt = validator.val_batch(i)
+        gts.append(gt)
+        pending.append(render_view(params, batch))
 
     gt_rgbs, pred_rgbs, gt_depths, pred_depths, masks, scans = \
         [], [], [], [], [], []
-    for i, (sample, (rgb, depth, conf)) in enumerate(zip(samples, pending)):
+    for i, (gt_i, (rgb, depth, conf)) in enumerate(zip(gts, pending)):
         rgb = np.asarray(rgb)
         depth = np.asarray(depth)
         from ucnerf_tpu.data.base import unnormalize_image
-        gt = np.clip(unnormalize_image(sample["images"][0]), 0, 1)
+        gt = np.clip(unnormalize_image(gt_i["image"]), 0, 1)
         gt_rgbs.append(gt)
         pred_rgbs.append(rgb)
-        gt_depths.append(sample["depths_h"])
+        gt_depths.append(gt_i["depth"])
         pred_depths.append(depth)
-        masks.append((sample["depths_h"] > 0).astype(np.float32))
-        scans.append(int(sample["scan_idx"]))
+        masks.append((gt_i["depth"] > 0).astype(np.float32))
+        scans.append(int(gt_i["scan_idx"]))
         if panels:
             panel_q.put((os.path.join(out_dir,
                                       f"{step_idx:08d}_{i:02d}.png"),
-                         gt, rgb, sample["depths_h"], depth))
+                         gt, rgb, gt_i["depth"], depth))
 
     # per-scene metrics averaged across scenes (reference
     # on_validation_epoch_end groups val views per scan, train.py:342-379)
