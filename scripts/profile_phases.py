@@ -197,50 +197,74 @@ def main():
     report("cascade_grad", timed(scan_phase(cascade_grad, keys)), dt0)
 
     # --- fixed cascade outputs for the render phases ---
+    # NOTE every phase body must DEPEND on the scanned key through its
+    # real operands (the 1e-12 perturbations below): a body whose value
+    # is key-independent gets hoisted out of the scan by XLA (computed
+    # ONCE per dispatch), silently dividing the reported cost by K —
+    # observed round-5 (render_fwd read 1.48 ms/iter hoisted vs ~14 real).
     imgs, mvs_out, confidence, rays0 = jax.jit(
         lambda p, b, k: scene_inputs(cfg, mvs, p, b, k))(
         params, batch, jax.random.PRNGKey(3))
     mvs_out = jax.tree.map(jax.lax.stop_gradient, mvs_out)
 
+    from ucnerf_tpu.ops.rays import build_train_rays
+    from ucnerf_tpu.train.loop import _stage_planes
+    near, far = batch["near_fars"][0, 0], batch["near_fars"][0, 1]
+
     def rays_fwd(key):
-        _, _, _, rays = scene_inputs(cfg, mvs, params, batch, key)
+        # ray build ALONE on fixed cascade outputs (key feeds both the
+        # sampling and a perturbation, so nothing hoists)
+        conf = confidence + 1e-12 * key[0].astype(jnp.float32)
+        rays = build_train_rays(
+            key, image_tgt=imgs[0], confidence=conf,
+            sparse_coords=batch["sparse_coords"],
+            sparse_mask=batch["sparse_mask"],
+            intrinsic=batch["intrinsics"][0], c2w=batch["c2ws"][0],
+            w2c_ref=batch["w2cs"][0], intrinsic_ref=batch["intrinsics"][0],
+            near_ref=near, far_ref=far,
+            stage_planes=_stage_planes(mvs_out, cfg.pad),
+            patch_size=cfg.patch_size, patch_num=cfg.patch_num,
+            n_uniform=cfg.n_uniform_rays, n_samples=cfg.N_samples,
+            jitter=True)
         return (jnp.sum(rays["points_world"].astype(jnp.float32)) * 1e-10
                 + jnp.sum(rays["colors"]))
 
-    dt_rays_cascade = timed(scan_phase(rays_fwd, keys))
-    # rays_fwd includes a cascade forward (confidence feeds the patch
-    # sampling); subtract the measured cascade_fwd dispatch
-    per = (dt_rays_cascade - dt0) / K - results["cascade_fwd"] / 1e3
-    results["rays_fwd"] = round(per * 1e3, 2)
-    print(f"rays_fwd: {per * 1e3:.2f} ms/iter (cascade subtracted)",
-          flush=True)
+    report("rays_fwd", timed(scan_phase(rays_fwd, keys)), dt0)
 
     def nerf_apply(pts, dirs, feats):
         return nerf.apply({"params": params["nerf"]}, pts, dirs, feats)
 
+    def _perturbed(key):
+        eps = 1e-12 * key[0].astype(jnp.float32)
+        mo = dict(mvs_out)
+        mo["img_feats"] = mvs_out["img_feats"] + eps
+        return mo, confidence + eps
+
     def render_fwd(key):
-        rgb, depth = render_rays(nerf_apply, rays0, mvs_out, confidence,
+        mo, conf = _perturbed(key)
+        rgb, depth = render_rays(nerf_apply, rays0, mo, conf,
                                  imgs[1:], batch["w2cs"][1:],
                                  batch["intrinsics"][1:], batch["w2cs"][0],
                                  white_bkgd=cfg.white_bkgd,
                                  fast=cfg.fast_featurization)
-        return jnp.sum(rgb) + jnp.sum(depth) * 1e-6 \
-            + jnp.sum(key.astype(jnp.float32)) * 0.0
+        return jnp.sum(rgb) + jnp.sum(depth) * 1e-6
 
     report("render_fwd", timed(scan_phase(render_fwd, keys)), dt0)
 
     def render_loss(operands, key):
         p_nerf, mo, conf, im = operands
+        eps = 1e-12 * key[0].astype(jnp.float32)
+        mo = dict(mo)
+        mo["img_feats"] = mo["img_feats"] + eps
 
         def napply(pts, dirs, feats):
             return nerf.apply({"params": p_nerf}, pts, dirs, feats)
-        rgb, depth = render_rays(napply, rays0, mo, conf, im[1:],
+        rgb, depth = render_rays(napply, rays0, mo, conf + eps, im[1:],
                                  batch["w2cs"][1:], batch["intrinsics"][1:],
                                  batch["w2cs"][0],
                                  white_bkgd=cfg.white_bkgd,
                                  fast=cfg.fast_featurization)
-        return (jnp.sum(rgb) + jnp.sum(depth) * 1e-6
-                + jnp.sum(key.astype(jnp.float32)) * 0.0)
+        return jnp.sum(rgb) + jnp.sum(depth) * 1e-6
 
     operands = (params["nerf"], mvs_out, confidence, imgs)
 
@@ -258,8 +282,10 @@ def main():
         white_bkgd=cfg.white_bkgd, fast=cfg.fast_featurization))()
 
     def loss_fwd(key):
-        loss, _ = scene_loss_terms(cfg, batch, rgb0, depth0, rays0, mvs_out)
-        return loss + jnp.sum(key.astype(jnp.float32)) * 0.0
+        eps = 1e-12 * key[0].astype(jnp.float32)
+        loss, _ = scene_loss_terms(cfg, batch, rgb0 + eps, depth0 + eps,
+                                   rays0, mvs_out)
+        return loss
 
     report("loss_fwd", timed(scan_phase(loss_fwd, keys)), dt0)
 
