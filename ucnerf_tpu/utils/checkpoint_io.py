@@ -357,8 +357,11 @@ def load_eval_params(cfg, params):
     """Resolve ``--ckpt`` for the inference CLIs (train.py --eval,
     render_path.py, serve.py): a torch ``.tar/.ckpt/.pth`` converts on the
     fly (reference ``network/models.py:253-266`` load path); anything else
-    is an orbax directory whose full TrainState is restored and the params
-    extracted.  With no ``--ckpt``, the given init params pass through."""
+    is an orbax directory whose params subtree is restored (params-only,
+    so a checkpoint saved by ANY phase — including the finetune run's
+    multi_transform optimizer, whose opt_state structure differs from
+    plain adam — loads for inference).  With no ``--ckpt``, the given
+    init params pass through."""
     if not cfg.ckpt:
         return params
     if cfg.ckpt.endswith((".tar", ".ckpt", ".pth")):
@@ -366,8 +369,4 @@ def load_eval_params(cfg, params):
         return {**params, **convert_reference_checkpoint(cfg.ckpt)}
     if cfg.ckpt.endswith(".npz"):
         return {**params, **load_params_npz(cfg.ckpt)}
-    import jax.numpy as jnp
-    from ucnerf_tpu.train.loop import TrainState, make_optimizer
-    tx = make_optimizer(cfg, steps_per_epoch=1)
-    target = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
-    return load_checkpoint(cfg.ckpt, target).params
+    return load_params(cfg.ckpt, params)
