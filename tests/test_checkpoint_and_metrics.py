@@ -82,6 +82,25 @@ def test_orbax_async_save_and_overwrite(tmp_path, params):
     assert int(restored.step) == 3
 
 
+def test_load_eval_params_from_finetune_checkpoint(tmp_path, params):
+    """Inference CLIs must load checkpoints saved by ANY phase.
+
+    A --finetune run's optimizer is a multi_transform (make_optimizer),
+    whose opt_state STRUCTURE differs from plain adam — load_eval_params
+    therefore restores the params subtree only (regression: it used to
+    restore the full TrainState against a plain-adam target and rejected
+    finetune-phase checkpoints in render_path.py/serve.py)."""
+    from ucnerf_tpu.train.loop import TrainState, make_optimizer
+    cfg = Config(view_num=4, N_samples=9, finetune="scan0")
+    tx = make_optimizer(cfg, steps_per_epoch=10)
+    state = TrainState(params, tx.init(params), jnp.asarray(5, jnp.int32))
+    path = cio.save_checkpoint(str(tmp_path), state, 5)
+    # target init params differ from the save — the restore must win
+    other = jax.tree.map(lambda x: np.zeros_like(np.asarray(x)), params)
+    restored = cio.load_eval_params(cfg.replace(ckpt=path), other)
+    _trees_equal(params, restored)
+
+
 def test_checkpoint_retention(tmp_path, params):
     """keep=N prunes to the newest N step dirs (async saves included);
     keep=0 keeps everything (the reference's behavior)."""
